@@ -1,0 +1,123 @@
+"""Closed-form polynomial root solvers (quadratic, cubic, quartic).
+
+Vectorized equivalents of sim5polyroots.c.  Roots are returned as separate
+(real, imag) arrays -- complex dtypes are avoided so everything maps cleanly
+onto TPU vector registers.
+"""
+
+import jax.numpy as jnp
+
+
+def quadratic_roots(a, b, c):
+    """Roots of a x^2 + b x + c = 0.
+
+    Returns (re, im) each of shape (..., 2) and n_real of shape (...).
+    (reference: sim5polyroots.c:8-60)
+    """
+    a, b, c = jnp.broadcast_arrays(*(jnp.asarray(v, jnp.float64) for v in (a, b, c)))
+    d = b * b - 4.0 * a * c
+    sq = jnp.sqrt(jnp.abs(d))
+    # real case (numerically stable form)
+    qq = -0.5 * (b + jnp.sign(b) * sq)
+    a_safe = jnp.where(a == 0.0, 1.0, a)
+    qq_safe = jnp.where(qq == 0.0, 1.0, qq)
+    r1 = qq / a_safe
+    r2 = c / qq_safe
+    re_real = jnp.stack([jnp.maximum(r1, r2), jnp.minimum(r1, r2)], -1)
+    im_real = jnp.zeros_like(re_real)
+    # complex case
+    re_c = jnp.stack([-b / (2 * a_safe)] * 2, -1)
+    im_c = jnp.stack([sq / (2 * a_safe), -sq / (2 * a_safe)], -1)
+    real = (d >= 0.0)[..., None]
+    return (jnp.where(real, re_real, re_c),
+            jnp.where(real, im_real, im_c),
+            jnp.where(d >= 0.0, 2, 0))
+
+
+def cubic_roots(p, q, r):
+    """Roots of x^3 + p x^2 + q x + r = 0 (monic, real coefficients).
+
+    Returns (re, im) of shape (..., 3) and n_real.  (sim5polyroots.c:93-150)
+    """
+    p, q, r = jnp.broadcast_arrays(*(jnp.asarray(v, jnp.float64) for v in (p, q, r)))
+    Q = (p * p - 3.0 * q) / 9.0
+    R = (2.0 * p ** 3 - 9.0 * p * q + 27.0 * r) / 54.0
+    three_real = R * R < Q ** 3
+    # three real roots
+    Q_safe = jnp.where(Q > 0.0, Q, 1.0)
+    arg = jnp.clip(R / jnp.sqrt(Q_safe ** 3), -1.0, 1.0)
+    th = jnp.arccos(arg)
+    sq = jnp.sqrt(Q_safe)
+    x1 = -2.0 * sq * jnp.cos(th / 3.0) - p / 3.0
+    x2 = -2.0 * sq * jnp.cos((th + 2.0 * jnp.pi) / 3.0) - p / 3.0
+    x3 = -2.0 * sq * jnp.cos((th - 2.0 * jnp.pi) / 3.0) - p / 3.0
+    # one real root
+    A = -jnp.sign(R) * (jnp.abs(R) + jnp.sqrt(jnp.maximum(R * R - Q ** 3, 0.0))) ** (1.0 / 3.0)
+    A_safe = jnp.where(A == 0.0, 1.0, A)
+    B = jnp.where(A == 0.0, 0.0, Q / A_safe)
+    y1 = (A + B) - p / 3.0
+    yr = -0.5 * (A + B) - p / 3.0
+    yi = (jnp.sqrt(3.0) / 2.0) * (A - B)
+    re = jnp.where(three_real[..., None],
+                   jnp.stack([x1, x2, x3], -1),
+                   jnp.stack([y1, yr, yr], -1))
+    im = jnp.where(three_real[..., None],
+                   jnp.zeros(p.shape + (3,)),
+                   jnp.stack([jnp.zeros_like(yi), yi, -yi], -1))
+    return re, im, jnp.where(three_real, 3, 1)
+
+
+def quartic_roots(a3, a2, a1, a0):
+    """Roots of z^4 + a3 z^3 + a2 z^2 + a1 z + a0 = 0.
+
+    Returns (re, im) of shape (..., 4) and n_real (...).  Resolvent-cubic
+    closed form (sim5polyroots.c:330-447), fully branchless via masks.
+    """
+    a3, a2, a1, a0 = jnp.broadcast_arrays(
+        *(jnp.asarray(v, jnp.float64) for v in (a3, a2, a1, a0)))
+    # depressed quartic y^4 + p y^2 + q y + r, z = y - a3/4
+    sh = a3 / 4.0
+    p = a2 - 3.0 * a3 * a3 / 8.0
+    q = a1 - a3 * a2 / 2.0 + a3 ** 3 / 8.0
+    r = a0 - a3 * a1 / 4.0 + a3 * a3 * a2 / 16.0 - 3.0 * a3 ** 4 / 256.0
+    # resolvent cubic: u^3 - p u^2 - 4 r u + (4 p r - q^2) = 0;
+    # take the LARGEST real root so that w^2 = u - p >= 0
+    cre, cim, _ = cubic_roots(-p, -4.0 * r, 4.0 * p * r - q * q)
+    u = jnp.max(jnp.where(cim == 0.0, cre, -jnp.inf), axis=-1)
+    # factor into (y^2 + w y + c1)(y^2 - w y + c2), w = sqrt(u - p),
+    # c1 = u/2 - q/(2w), c2 = u/2 + q/(2w)
+    w2 = u - p
+    w = jnp.sqrt(jnp.maximum(w2, 0.0))
+    w_zero = w2 <= 1e-14 * (jnp.abs(u) + jnp.abs(p))
+    w_safe = jnp.where(w_zero, 1.0, w)
+    c1 = u / 2.0 - jnp.where(w_zero, 0.0, q / (2.0 * w_safe))
+    c2 = u / 2.0 + jnp.where(w_zero, 0.0, q / (2.0 * w_safe))
+    # w==0 (biquadratic, q~0) case: (y^2 + c1)(y^2 + c2) with
+    # c = (p -+ sqrt(p^2-4r))/2
+    d_b = p * p - 4.0 * r
+    sd_b = jnp.sqrt(jnp.abs(d_b))
+    c1 = jnp.where(w_zero, (p - sd_b) / 2.0, c1)
+    c2 = jnp.where(w_zero, (p + sd_b) / 2.0, c2)
+    w = jnp.where(w_zero, 0.0, w)
+
+    re1, im1, n1 = quadratic_roots(jnp.ones_like(w), w, c1)
+    re2, im2, n2 = quadratic_roots(jnp.ones_like(w), -w, c2)
+    re = jnp.concatenate([re1, re2], -1) - sh[..., None]
+    im = jnp.concatenate([im1, im2], -1)
+    return re, im, n1 + n2
+
+
+def sort_quartic_roots(re, im):
+    """Order roots: real roots first in descending order, complex roots last.
+
+    Returns (re_sorted, im_sorted, n_real).  (reference: sim5polyroots.c:278-325)
+    """
+    is_real = im == 0.0
+    n_real = jnp.sum(is_real, axis=-1)
+    # sort key: real roots get key = -re (ascending sort => descending re),
+    # complex roots get +inf-ish so they go last (stable within by index)
+    key = jnp.where(is_real, -re, jnp.inf)
+    order = jnp.argsort(key, axis=-1)
+    return (jnp.take_along_axis(re, order, -1),
+            jnp.take_along_axis(im, order, -1),
+            n_real)

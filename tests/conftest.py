@@ -1,0 +1,66 @@
+"""Test configuration: run JAX on a simulated 8-device CPU mesh with x64.
+
+Must set env vars before jax import (multi-chip sharding tests use the
+virtual device mesh; bench.py uses the real TPU chip instead).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# the container's sitecustomize force-registers the axon TPU backend; tests
+# must run on the virtual CPU mesh, so override at the jax config level too
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import pathlib
+
+import numpy as np
+import pytest
+
+GOLDEN = pathlib.Path(__file__).parent / "golden"
+
+
+def load_tagged(fname):
+    """Parse a golden file of '<tag> v1 v2 ...' lines into {tag: ndarray}."""
+    out = {}
+    with open(GOLDEN / fname) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            tag = parts[0]
+            vals = [float(v) for v in parts[1:]]
+            out.setdefault(tag, []).append(vals)
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+@pytest.fixture(scope="session")
+def golden_special():
+    return load_tagged("special.txt")
+
+
+@pytest.fixture(scope="session")
+def golden_kerr():
+    return load_tagged("kerr.txt")
+
+
+@pytest.fixture(scope="session")
+def golden_disknt():
+    return load_tagged("disknt.txt")
+
+
+@pytest.fixture(scope="session")
+def golden_polarization():
+    return load_tagged("polarization.txt")
+
+
+@pytest.fixture(scope="session")
+def golden_raytrace():
+    return load_tagged("raytrace.txt")

@@ -1,0 +1,165 @@
+"""Golden tests for special functions vs the compiled C reference."""
+
+import numpy as np
+import pytest
+
+from sim5_tpu import special as sp
+
+
+def _check(got, want, rtol, atol=1e-14, frac=1.0):
+    got = np.asarray(got)
+    finite = np.isfinite(want)  # reference returns NaN where it rejects args
+    got, want = got[finite], np.asarray(want)[finite]
+    ok = np.isclose(got, want, rtol=rtol, atol=atol)
+    assert ok.mean() >= frac, (
+        f"{(~ok).sum()}/{ok.size} mismatches; worst rel err "
+        f"{np.nanmax(np.abs(got - want) / (np.abs(want) + 1e-30)):.3e}")
+
+
+class TestCarlson:
+    def test_rf(self, golden_special):
+        d = golden_special["rf"]
+        _check(sp.rf(d[:, 0], d[:, 1], d[:, 2]), d[:, 3], 1e-9)
+
+    def test_rd(self, golden_special):
+        d = golden_special["rd"]
+        _check(sp.rd(d[:, 0], d[:, 1], d[:, 2]), d[:, 3], 1e-9)
+
+    def test_rc(self, golden_special):
+        d = golden_special["rc"]
+        _check(sp.rc(d[:, 0], d[:, 1]), d[:, 2], 1e-9)
+
+    def test_rj(self, golden_special):
+        d = golden_special["rj"]
+        _check(sp.rj(d[:, 0], d[:, 1], d[:, 2], d[:, 3]), d[:, 4], 1e-8)
+
+
+class TestLegendre:
+    def test_k(self, golden_special):
+        d = golden_special["ek"]
+        _check(sp.elliptic_k(d[:, 0]), d[:, 1], 1e-9)
+
+    def test_f(self, golden_special):
+        d = golden_special["ef"]
+        _check(sp.elliptic_f(d[:, 0], d[:, 1]), d[:, 2], 1e-9)
+
+    def test_e(self, golden_special):
+        d = golden_special["ee"]
+        _check(sp.elliptic_e(d[:, 0], d[:, 1]), d[:, 2], 1e-9)
+
+
+class TestJacobi:
+    def test_sncndn(self, golden_special):
+        d = golden_special["sncndn"]
+        sn, cn, dn = sp.jacobi_sncndn(d[:, 0], d[:, 1])
+        # AGM tolerance in reference is 1e-8 -> values agree to ~1e-7
+        _check(sn, d[:, 2], 1e-6, atol=1e-7)
+        _check(cn, d[:, 3], 1e-6, atol=1e-7)
+        _check(dn, d[:, 4], 1e-6, atol=1e-7)
+
+    def test_isn(self, golden_special):
+        d = golden_special["isn"]
+        _check(sp.jacobi_isn(d[:, 0], d[:, 1]), d[:, 2], 1e-9)
+
+    def test_icn(self, golden_special):
+        d = golden_special["icn"]
+        _check(sp.jacobi_icn(d[:, 0], d[:, 1]), d[:, 2], 1e-9)
+
+    def test_itn(self, golden_special):
+        d = golden_special["itn"]
+        _check(sp.jacobi_itn(d[:, 0], d[:, 1]), d[:, 2], 1e-9)
+
+    def test_roundtrip(self):
+        # sn(isn(z)) == z across moduli
+        z = np.linspace(-0.95, 0.95, 41)
+        m = np.linspace(0.05, 0.95, 41)
+        u = sp.jacobi_isn(z, m)
+        sn, _, _ = sp.jacobi_sncndn(u, m)
+        _check(sn, z, 1e-6, atol=1e-7)
+
+
+class TestBFIntegrals:
+    def test_T_mp(self, golden_special):
+        d = golden_special["Tmp"]
+        _check(sp.integral_T_mp(d[:, 0], d[:, 1], d[:, 2], d[:, 3]), d[:, 4], 1e-7)
+
+    def test_T_m0(self, golden_special):
+        d = golden_special["Tm0"]
+        _check(sp.integral_T_m0(d[:, 0], d[:, 1], d[:, 2]), d[:, 3], 1e-7)
+
+    def test_T_m2(self, golden_special):
+        d = golden_special["Tm2"]
+        _check(sp.integral_T_m2(d[:, 0], d[:, 1], d[:, 2]), d[:, 3], 1e-6, atol=1e-8)
+
+    def test_R_rp_inf(self, golden_special):
+        d = golden_special["Rrp_inf"]
+        _check(sp.integral_R_rp_re_inf(d[:, 0], d[:, 1], d[:, 2], d[:, 3], d[:, 4]),
+               d[:, 5], 1e-6)
+
+    def test_R_rp(self, golden_special):
+        d = golden_special["Rrp"]
+        _check(sp.integral_R_rp_re(d[:, 0], d[:, 1], d[:, 2], d[:, 3], d[:, 4], d[:, 5]),
+               d[:, 6], 1e-6)
+
+    def test_R_r0(self, golden_special):
+        d = golden_special["Rr0"]
+        _check(sp.integral_R_r0_re(d[:, 0], d[:, 1], d[:, 2], d[:, 3], d[:, 4]),
+               d[:, 5], 1e-7)
+
+    def test_R_r1(self, golden_special):
+        d = golden_special["Rr1"]
+        _check(sp.integral_R_r1_re(d[:, 0], d[:, 1], d[:, 2], d[:, 3], d[:, 4]),
+               d[:, 5], 1e-6)
+
+    def test_R_r2(self, golden_special):
+        d = golden_special["Rr2"]
+        _check(sp.integral_R_r2_re(d[:, 0], d[:, 1], d[:, 2], d[:, 3], d[:, 4]),
+               d[:, 5], 1e-6)
+
+
+class TestPolyroots:
+    def test_quartic_random(self):
+        rng = np.random.default_rng(0)
+        roots = rng.uniform(-10, 10, (256, 4))
+        # build quartics from known real roots
+        a3 = -roots.sum(1)
+        a2 = (roots[:, 0] * roots[:, 1] + roots[:, 0] * roots[:, 2] + roots[:, 0] * roots[:, 3]
+              + roots[:, 1] * roots[:, 2] + roots[:, 1] * roots[:, 3] + roots[:, 2] * roots[:, 3])
+        a1 = -(roots[:, 0] * roots[:, 1] * roots[:, 2] + roots[:, 0] * roots[:, 1] * roots[:, 3]
+               + roots[:, 0] * roots[:, 2] * roots[:, 3] + roots[:, 1] * roots[:, 2] * roots[:, 3])
+        a0 = roots.prod(1)
+        re, im, n = sp.quartic_roots(a3, a2, a1, a0)
+        re, im, n = np.asarray(re), np.asarray(im), np.asarray(n)
+        assert (n == 4).all()
+        got = np.sort(re, axis=1)
+        want = np.sort(roots, axis=1)
+        assert np.allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    def test_quartic_complex(self):
+        # (x^2+1)(x^2-3x+2) = x^4 -3x^3 +3x^2 -3x + 2: roots 1,2,+-i
+        re, im, n = sp.quartic_roots(-3.0, 3.0, -3.0, 2.0)
+        re, im, n = np.asarray(re), np.asarray(im), np.asarray(n)
+        assert n == 2
+        sre, sim_, nr = sp.sort_quartic_roots(re, im)
+        sre, sim_ = np.asarray(sre), np.asarray(sim_)
+        assert np.allclose(sre[:2], [2.0, 1.0], atol=1e-9)
+        assert np.allclose(np.abs(sim_[2:]), [1.0, 1.0], atol=1e-9)
+
+
+class TestGradients:
+    def test_rf_grad(self):
+        import jax
+        g = jax.grad(lambda x: sp.rf(x, 2.0, 3.0))(1.0)
+        # dRF/dx = -1/6 RD(y,z,x)
+        want = -sp.rd(2.0, 3.0, 1.0) / 6.0
+        assert np.isclose(float(g), float(want), rtol=1e-8)
+
+    def test_elliptic_k_grad(self):
+        import jax
+        m = 0.3
+        g = jax.grad(lambda mm: sp.elliptic_k(mm))(m)
+        # dK/dm = (E - (1-m)K) / (2m(1-m))
+        E = sp.elliptic_e(np.pi / 2, m)
+        K = sp.elliptic_k(m)
+        want = (E - (1 - m) * K) / (2 * m * (1 - m))
+        assert np.isclose(float(g), float(want), rtol=1e-7)
