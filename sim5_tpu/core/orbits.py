@@ -1,0 +1,81 @@
+"""Characteristic orbit radii and Keplerian orbital quantities.
+
+(reference: sim5kerr.c:980-1141)
+"""
+
+import jax.numpy as jnp
+
+from .metric import Metric
+
+
+def r_bh(a):
+    """Event horizon radius [rg].  (sim5kerr.c:981-989)"""
+    return 1.0 + jnp.sqrt(1.0 - jnp.square(a))
+
+
+def r_ms(a):
+    """Marginally stable (ISCO) orbit radius [rg].  (sim5kerr.c:994-1004)
+
+    Supports negative spin (retrograde) like the reference disk module
+    (sim5disk-nt.c:98-104).
+    """
+    a = jnp.asarray(a, jnp.float64)
+    z1 = 1.0 + jnp.cbrt(1.0 - a * a) * (jnp.cbrt(1.0 + a) + jnp.cbrt(1.0 - a))
+    z2 = jnp.sqrt(3.0 * a * a + z1 * z1)
+    sga = jnp.where(a >= 0.0, 1.0, -1.0)
+    return 3.0 + z2 - sga * jnp.sqrt((3.0 - z1) * (3.0 + z1 + 2.0 * z2))
+
+
+def r_mb(a):
+    """Marginally bound orbit radius [rg] (Bardeen+72 eq. 2.19).  (sim5kerr.c:1008-1018)"""
+    return (2.0 - a) + 2.0 * jnp.sqrt(1.0 - a)
+
+
+def r_ph(a):
+    """Photon orbit radius [rg] (Bardeen+72 eq. 2.18).  (sim5kerr.c:1022-1032)"""
+    return 2.0 * (1.0 + jnp.cos(2.0 / 3.0 * jnp.arccos(-a)))
+
+
+def OmegaK(r, a):
+    """Keplerian angular frequency [geom. units].  (sim5kerr.c:1037-1046)"""
+    return 1.0 / (a + r ** 1.5)
+
+
+def ellK(r, a):
+    """Keplerian specific angular momentum (Komissarov 2008 form).
+
+    (sim5kerr.c:1050-1072)
+    """
+    sr = jnp.sqrt(r)
+    return (r * r - 2.0 * a * sr + a * a) / (sr * r - 2.0 * sr + a)
+
+
+def omega_r(r, a):
+    """Radial epicyclic frequency.  (sim5kerr.c:1076-1085)"""
+    return OmegaK(r, a) * jnp.sqrt(
+        1.0 - 6.0 / r + 8.0 * a / jnp.sqrt(r * r * r) - 3.0 * a * a / (r * r))
+
+
+def omega_z(r, a):
+    """Vertical epicyclic frequency.  (sim5kerr.c:1089-1098)"""
+    return OmegaK(r, a) * jnp.sqrt(
+        1.0 - 4.0 * a / jnp.sqrt(r * r * r) + 3.0 * a * a / (r * r))
+
+
+def Omega_from_ell(ell, m: Metric):
+    """Angular frequency for given specific angular momentum.  (sim5kerr.c:1102-1111)"""
+    return -(m.g03 + ell * m.g00) / (m.g33 + ell * m.g03)
+
+
+def ell_from_Omega(Omega, m: Metric):
+    """Specific angular momentum for given angular frequency.  (sim5kerr.c:1115-1124)"""
+    return -(m.g03 + m.g33 * Omega) / (m.g00 + m.g03 * Omega)
+
+
+def gfactorK(r, a, l):
+    """g-factor (redshift) for Keplerian equatorial emission toward a photon
+    with motion constant lambda=l.  (sim5kerr.c:1128-1141)
+    """
+    Om = 1.0 / (a + r ** 1.5)
+    return (jnp.sqrt(1.0 - 2.0 / r * (1.0 - a * Om) ** 2 - (r * r + a * a) * Om * Om)
+            / (1.0 - Om * l))
