@@ -1,0 +1,616 @@
+"""Closed-form (analytic) null-geodesic engine for Kerr spacetime.
+
+Solves the geodesic equation via quartic roots of the radial potential
+R(r) (Cadez, Fanton & Calvani 1998) and Jacobi/Carlson elliptic integrals,
+exactly as the reference engine (sim5kerr-geod.c) -- but as pure, batched,
+differentiable array programs:
+
+* the per-type `switch` of the reference becomes masked evaluation of all
+  live trajectory types (RR / RR_BH / RC / CC) with NaN-safe dummy inputs
+  in the untaken branches (so gradients stay finite);
+* the theta-oscillation `while` loops (sim5kerr-geod.c:385-390,542-547)
+  become closed-form floor/ceil period counts;
+* everything broadcasts over leading batch dims; a full image of geodesics
+  is one `Geodesic` pytree.
+
+Position along a geodesic is parametrized by the monotonic position
+integral P (Bursa 2017, eq. 34/43), increasing from 0 at infinity.
+"""
+
+import jax.numpy as jnp
+
+from ..special import (
+    elliptic_k, jacobi_sncndn, jacobi_isn, jacobi_icn, jacobi_itn,
+    quartic_roots, sort_quartic_roots,
+    integral_R_rp_re, integral_R_rp_re_inf,
+    integral_R_rp_cc2_inf, integral_R_rp_cc2,
+    integral_R_r0_re, integral_R_r1_re, integral_R_r2_re,
+    integral_R_r0_cc, integral_R_r1_cc, integral_R_r2_cc,
+    integral_T_mp,
+)
+from ..core import photon_momentum, photon_motion_constants, r_bh
+from .types import (
+    Geodesic,
+    GEOD_TYPE_RR, GEOD_TYPE_RR_DBL, GEOD_TYPE_RR_BH, GEOD_TYPE_RC, GEOD_TYPE_CC,
+    GD_OK, GD_ERROR_UNKNOWN_SOLUTION, GD_ERROR_TYPE_RR_DOUBLE,
+    GD_ERROR_Q_RANGE, GD_ERROR_MUPLUS_RANGE, GD_ERROR_MU0_RANGE,
+    GD_ERROR_MM_RANGE, GD_ERROR_INCL_RANGE, GD_ERROR_SPIN_RANGE,
+)
+
+_HALF_PI = jnp.pi / 2.0
+_BIG = 1e300
+
+
+def _theta_int(g: Geodesic, x):
+    """T-integral from m=x to mu_plus:  mK * icn(x/sqrt(m2p), mm).
+
+    (reference macro theta_int, sim5kerr-geod.c:29)
+    """
+    u = jnp.clip(x / jnp.sqrt(g.m2p), -1.0, 1.0)
+    return g.mK * jacobi_icn(u, g.mm)
+
+
+def _theta_inv(g: Geodesic, x):
+    """Inverse of the T-integral: m(x) = sqrt(m2p) * cn(x/mK, mm).
+
+    (reference macro theta_inv, sim5kerr-geod.c:30)
+    """
+    return jnp.sqrt(g.m2p) * jacobi_sncndn(x / g.mK, g.mm)[1]
+
+
+# ---------------------------------------------------------------------------
+# root finding & classification
+# ---------------------------------------------------------------------------
+
+def _R_roots(a, l, q, r0):
+    """Quartic roots of R(r) = r^4 + (a^2-l^2-q) r^2 + 2(q+(l-a)^2) r - a^2 q,
+    trajectory classification against observation radius r0, periastron and
+    Rpc (position integral infinity->periastron).
+
+    Returns (rr, ri, nrr, gtype, rp, Rpc, status).
+    (reference: geodesic_priv_R_roots, sim5kerr-geod.c:986-1104)
+    """
+    a2 = a * a
+    c2 = a2 - l * l - q               # coefficient of r^2
+    c1 = 2.0 * (q + (l - a) ** 2)     # coefficient of r
+    c0 = -a2 * q                      # constant
+    re, im, _n = quartic_roots(jnp.zeros_like(a), c2, c1, c0)
+    rr, ri, nrr = sort_quartic_roots(re, im)
+
+    is4 = nrr == 4
+    is2 = nrr == 2
+    is0 = nrr == 0
+
+    r1, r2, r3, r4 = rr[..., 0], rr[..., 1], rr[..., 2], rr[..., 3]
+
+    # --- classification (nrr==4)
+    dbl_root = is4 & (jnp.abs(r1 - r2) < 1e-8)
+    inner = is4 & (r0 >= r3) & (r0 <= r2)
+    bad4 = is4 & ((r0 < r3) | ((r0 > r2) & (r0 < r1)))
+
+    gtype = jnp.where(is4, GEOD_TYPE_RR,
+                      jnp.where(is2, GEOD_TYPE_RC, GEOD_TYPE_CC))
+    gtype = jnp.where(dbl_root, GEOD_TYPE_RR_DBL, gtype)
+    gtype = jnp.where(inner & ~dbl_root, GEOD_TYPE_RR_BH, gtype)
+
+    status = jnp.where(bad4, GD_ERROR_UNKNOWN_SOLUTION,
+                       jnp.where(dbl_root, GD_ERROR_TYPE_RR_DOUBLE, GD_OK))
+    status = jnp.asarray(status, jnp.int32)
+
+    # --- RR (outer) branch: rp = r1, Rpc via isn
+    s1 = jnp.where(is4, r1, 8.0)
+    s2 = jnp.where(is4, r2, 6.0)
+    s3 = jnp.where(is4, r3, 4.0)
+    s4 = jnp.where(is4, r4, 2.0)
+    m4 = ((s2 - s3) * (s1 - s4)) / ((s2 - s4) * (s1 - s3))
+    Rpc_rr = 2.0 / jnp.sqrt((s1 - s3) * (s2 - s4)) * jacobi_isn(
+        jnp.sqrt((s2 - s4) / (s1 - s4)), m4)
+    Rpc_bh = 2.0 / jnp.sqrt((s1 - s3) * (s2 - s4)) * elliptic_k(m4)
+
+    # --- RC branch: two real roots + complex pair u +- iv
+    t1 = jnp.where(is2, r1, 6.0)
+    t2 = jnp.where(is2, r2, 2.0)
+    tu = jnp.where(is2, rr[..., 2], 0.0)
+    tv = jnp.where(is2, jnp.abs(ri[..., 2]), 1.0)
+    A_rc = jnp.sqrt((t1 - tu) ** 2 + tv ** 2)
+    B_rc = jnp.sqrt((t2 - tu) ** 2 + tv ** 2)
+    mm_rc = ((A_rc + B_rc) ** 2 - (t1 - t2) ** 2) / (4.0 * A_rc * B_rc)
+    Rpc_rc = jacobi_icn((A_rc - B_rc) / (A_rc + B_rc), mm_rc) / jnp.sqrt(A_rc * B_rc)
+
+    # --- CC branch: two complex pairs b1 +- ia1, b2 +- ia2
+    b1 = jnp.where(is0, rr[..., 0], 0.0)
+    a1 = jnp.where(is0, jnp.abs(ri[..., 0]), 1.0)
+    b2 = jnp.where(is0, rr[..., 2], 1.0)
+    a2_ = jnp.where(is0, jnp.abs(ri[..., 2]), 2.0)
+    A_cc = jnp.sqrt((b1 - b2) ** 2 + (a1 + a2_) ** 2)
+    B_cc = jnp.sqrt((b1 - b2) ** 2 + (a1 - a2_) ** 2)
+    g1num = jnp.maximum(4.0 * a1 * a1 - (A_cc - B_cc) ** 2, 1e-30)
+    g1den = jnp.maximum((A_cc + B_cc) ** 2 - 4.0 * a1 * a1, 1e-30)
+    g1 = jnp.sqrt(g1num / g1den)
+    mm_cc = 4.0 * A_cc * B_cc / (A_cc + B_cc) ** 2
+    Rpc_cc = 2.0 / (A_cc + B_cc) * jacobi_itn(-1.0 / g1, mm_cc)
+
+    rp = jnp.where(is4, jnp.where(inner, r2, r1),
+                   jnp.where(is2, t1, b1 - a1 * g1))
+    Rpc = jnp.where(is4, jnp.where(inner, Rpc_bh, Rpc_rr),
+                    jnp.where(is2, Rpc_rc, Rpc_cc))
+    return rr, ri, jnp.asarray(nrr, jnp.int32), jnp.asarray(gtype, jnp.int32), rp, Rpc, status
+
+
+def _T_roots(a, l, q, m0):
+    """Roots of the theta potential M(m) = q + (a^2-l^2-q)m^2 - a^2 m^4
+    = a^2 (m2m + m^2)(m2p - m^2), plus derived moduli.
+
+    Uses the cancellation-stable form m2m*m2p = q/a^2
+    (reference: geodesic_priv_T_roots, sim5kerr-geod.c:1109-1184).
+    Returns (m2p, m2m, mm, mK, status).
+    """
+    a2 = a * a
+    qla = q + l * l - a2
+    X = jnp.sqrt(qla * qla + 4.0 * q * a2) + qla
+    m2m = X / (2.0 * a2)
+    m2p = (2.0 * q) / X
+
+    bad_mp = (m2p <= 0.0) | (m2p >= 1.0)
+    qpos = q > 0.0
+    qneg = q < 0.0
+
+    mm_pos = m2p / (m2p + m2m)
+    mm_neg = (m2p + m2m) / m2p
+    mm = jnp.where(qpos, mm_pos, mm_neg)
+    bad_mm = (mm < 0.0) | (mm >= 1.0)
+
+    sqrt_m2p = jnp.sqrt(jnp.maximum(m2p, 0.0))
+    bad_m0 = jnp.where(
+        qpos, jnp.abs(m0) > sqrt_m2p,
+        (jnp.abs(m0) > sqrt_m2p) | (jnp.abs(m0) < jnp.sqrt(jnp.maximum(-m2m, 0.0))))
+
+    mK = jnp.where(qpos,
+                   1.0 / jnp.sqrt(a2 * (m2p + m2m)),
+                   1.0 / jnp.sqrt(a2 * jnp.maximum(m2p, 1e-300)))
+
+    status = jnp.where(bad_mp, GD_ERROR_MUPLUS_RANGE,
+                       jnp.where(bad_mm, GD_ERROR_MM_RANGE,
+                                 jnp.where(bad_m0, GD_ERROR_MU0_RANGE,
+                                           jnp.where(~qpos & ~qneg,
+                                                     GD_ERROR_Q_RANGE, GD_OK))))
+    return m2p, m2m, mm, mK, jnp.asarray(status, jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# initialization
+# ---------------------------------------------------------------------------
+
+def geodesic_init_inf(i, a, alpha, beta):
+    """Set up a geodesic from impact parameters at infinity.
+
+    Args broadcast; returns a `Geodesic` pytree whose `status` field is
+    GD_OK where the setup succeeded (invalid entries carry error codes and
+    NaN-free dummy caches).  (reference: geodesic_init_inf,
+    sim5kerr-geod.c:42-100)
+    """
+    i, a, alpha, beta = jnp.broadcast_arrays(
+        *(jnp.asarray(v, jnp.float64) for v in (i, a, alpha, beta)))
+    bad_spin = (a < 0.0) | (a > 1.0 - 1e-6)
+    bad_incl = (i <= 0.0) | (i >= _HALF_PI)
+    beta = jnp.where(beta == 0.0, 1e-6, beta)
+    a_eff = jnp.maximum(1e-4, a)
+    cos_i = jnp.cos(i)
+    l = -alpha * jnp.sin(i)
+    q = beta ** 2 + cos_i ** 2 * (alpha ** 2 - a_eff ** 2)
+    bad_q = q == 0.0
+    q = jnp.where(bad_q, 1.0, q)   # dummy to keep downstream finite
+
+    rr, ri, nrr, gtype, rp, Rpc, st_r = _R_roots(a_eff, l, q, jnp.full_like(a_eff, _BIG))
+    m2p, m2m, mm, mK, st_t = _T_roots(a_eff, l, q, cos_i)
+
+    status = jnp.where(bad_spin, GD_ERROR_SPIN_RANGE,
+                       jnp.where(bad_incl, GD_ERROR_INCL_RANGE,
+                                 jnp.where(bad_q, GD_ERROR_Q_RANGE,
+                                           jnp.where(st_r != 0, st_r, st_t))))
+
+    g = Geodesic(a_eff, alpha, beta, i, cos_i, l, q, rr, ri, nrr, gtype,
+                 m2p, m2m, mm, mK, rp, Rpc,
+                 jnp.zeros_like(a_eff), jnp.zeros_like(a_eff),
+                 jnp.asarray(status, jnp.int32))
+    Tpp = 2.0 * _theta_int(g, jnp.zeros_like(a_eff))
+    Tip = _theta_int(g, cos_i)
+    return g._replace(Tpp=Tpp, Tip=Tip)
+
+
+def geodesic_init_src(a, r, m, k, ppc):
+    """Set up a geodesic from a point (r, m) and 4-momentum direction k.
+
+    `ppc`: 1 if the point is past the radial turning point else 0.
+    Infers at-infinity parameters (cos_i, alpha, beta).
+    (reference: geodesic_init_src, sim5kerr-geod.c:106-173)
+    """
+    a, r, m = jnp.broadcast_arrays(
+        *(jnp.asarray(v, jnp.float64) for v in (a, r, m)))
+    l, q = photon_motion_constants(a, r, m, k)
+    a_eff = jnp.maximum(1e-8, a)
+
+    rr, ri, nrr, gtype, rp, Rpc, st_r = _R_roots(a_eff, l, q, r)
+    m2p, m2m, mm, mK, st_t = _T_roots(a_eff, l, q, m)
+    status = jnp.where(st_r != 0, st_r, st_t)
+
+    g = Geodesic(a_eff, jnp.zeros_like(a_eff), jnp.zeros_like(a_eff),
+                 jnp.zeros_like(a_eff), jnp.zeros_like(a_eff), l, q,
+                 rr, ri, nrr, gtype, m2p, m2m, mm, mK, rp, Rpc,
+                 jnp.zeros_like(a_eff), jnp.zeros_like(a_eff),
+                 jnp.asarray(status, jnp.int32))
+
+    Tmp = _theta_int(g, m)
+    Tpp = 2.0 * _theta_int(g, jnp.zeros_like(a_eff))
+    T = geodesic_P_int(g, r, ppc)
+    sign_dm = jnp.where(k[..., 2] < 0.0, 1.0, -1.0)
+    T = T + jnp.where(sign_dm > 0.0, Tpp - Tmp, Tmp)
+    # fold T into (0, Tpp], flipping sign_dm per period
+    # (while T > Tpp: T -= Tpp; flip)
+    nper = jnp.maximum(0.0, jnp.ceil(T / Tpp) - 1.0)
+    T = T - nper * Tpp
+    sign_dm = sign_dm * jnp.where(nper % 2.0 == 0.0, 1.0, -1.0)
+    cos_i = -sign_dm * _theta_inv(g, T)
+    incl = jnp.arccos(cos_i)
+    alpha = -l / jnp.sqrt(jnp.maximum(1.0 - cos_i ** 2, 1e-30))
+    beta = -sign_dm * jnp.sqrt(jnp.maximum(
+        q - cos_i ** 2 * (alpha ** 2 - a_eff ** 2), 0.0))
+
+    g = g._replace(alpha=alpha, beta=beta, incl=incl, cos_i=cos_i)
+    Tip = _theta_int(g, cos_i)
+    return g._replace(Tpp=Tpp, Tip=Tip)
+
+
+# ---------------------------------------------------------------------------
+# position integral and its inversions
+# ---------------------------------------------------------------------------
+
+def geodesic_P_int(g: Geodesic, r, ppc):
+    """Value of the position integral between infinity and radius r.
+
+    `ppc`: 0 = before periastron, 1 = past periastron.
+    (reference: geodesic_P_int, sim5kerr-geod.c:178-263)
+    """
+    r = jnp.asarray(r, jnp.float64)
+    ppc = jnp.asarray(ppc)
+    is_rr = g.gtype == GEOD_TYPE_RR
+    is_bh = g.gtype == GEOD_TYPE_RR_BH
+    is_rc = g.gtype == GEOD_TYPE_RC
+    is_cc = g.gtype == GEOD_TYPE_CC
+    is4 = is_rr | is_bh
+
+    r1 = jnp.where(is4, g.rr[..., 0], 8.0)
+    r2 = jnp.where(is4, g.rr[..., 1], 6.0)
+    r3 = jnp.where(is4, g.rr[..., 2], 4.0)
+    r4 = jnp.where(is4, g.rr[..., 3], 2.0)
+    mm4 = ((r2 - r3) * (r1 - r4)) / ((r2 - r4) * (r1 - r3))
+    # RR: argument sqrt(((r2-r4)(r-r1))/((r1-r4)(r-r2)))
+    rs = jnp.where(is4, r, 10.0)
+    arg_rr = jnp.sqrt(jnp.maximum(((r2 - r4) * (rs - r1))
+                                  / ((r1 - r4) * (rs - r2)), 0.0))
+    R_rr = 2.0 / jnp.sqrt((r1 - r3) * (r2 - r4)) * jacobi_isn(
+        jnp.minimum(arg_rr, 1.0), mm4)
+    # RR_BH: argument sqrt((r1-r3)/(r2-r3)*(r2-r)/(r1-r))
+    rs_bh = jnp.where(is_bh, r, 3.0)
+    arg_bh = jnp.sqrt(jnp.maximum((r1 - r3) / (r2 - r3)
+                                  * (r2 - rs_bh) / (r1 - rs_bh), 0.0))
+    R_bh = 2.0 / jnp.sqrt((r1 - r3) * (r2 - r4)) * jacobi_isn(
+        jnp.minimum(arg_bh, 1.0), mm4)
+
+    # RC
+    t1 = jnp.where(is_rc, g.rr[..., 0], 6.0)
+    t2 = jnp.where(is_rc, g.rr[..., 1], 2.0)
+    tu = jnp.where(is_rc, g.rr[..., 2], 0.0)
+    tv = jnp.where(is_rc, jnp.abs(g.ri[..., 2]), 1.0)
+    A = jnp.sqrt((t1 - tu) ** 2 + tv ** 2)
+    B = jnp.sqrt((t2 - tu) ** 2 + tv ** 2)
+    mm_rc = ((A + B) ** 2 - (t1 - t2) ** 2) / (4.0 * A * B)
+    rs_rc = jnp.where(is_rc, r, 10.0)
+    z_rc = ((A - B) * rs_rc + t1 * B - t2 * A) / ((A + B) * rs_rc - t1 * B - t2 * A)
+    R_rc = jacobi_icn(z_rc, mm_rc) / jnp.sqrt(A * B)
+
+    # CC
+    b1 = jnp.where(is_cc, g.rr[..., 0], 0.0)
+    a1 = jnp.where(is_cc, jnp.abs(g.ri[..., 0]), 1.0)
+    b2 = jnp.where(is_cc, g.rr[..., 2], 1.0)
+    a2_ = jnp.where(is_cc, jnp.abs(g.ri[..., 2]), 2.0)
+    A_cc = jnp.sqrt((b1 - b2) ** 2 + (a1 + a2_) ** 2)
+    B_cc = jnp.sqrt((b1 - b2) ** 2 + (a1 - a2_) ** 2)
+    g1num = jnp.maximum(4.0 * a1 * a1 - (A_cc - B_cc) ** 2, 1e-30)
+    g1den = jnp.maximum((A_cc + B_cc) ** 2 - 4.0 * a1 * a1, 1e-30)
+    g1 = jnp.sqrt(g1num / g1den)
+    mm_cc = 4.0 * A_cc * B_cc / (A_cc + B_cc) ** 2
+    rs_cc = jnp.where(is_cc, r, 10.0)
+    z_cc = (rs_cc - b1 + a1 * g1) / (a1 + b1 * g1 - g1 * rs_cc)
+    R_cc = 2.0 / (A_cc + B_cc) * jacobi_itn(z_cc, mm_cc)
+
+    ppc_f = jnp.asarray(ppc, jnp.float64)
+    P = jnp.where(is_rr, g.Rpc + jnp.where(ppc_f > 0, R_rr, -R_rr),
+        jnp.where(is_bh, g.Rpc + jnp.where(ppc_f > 0, R_bh, -R_bh),
+        jnp.where(is_rc, g.Rpc - R_rc,
+        jnp.where(is_cc, g.Rpc - R_cc, jnp.nan))))
+    P = jnp.where(g.gtype == GEOD_TYPE_RR_DBL, jnp.nan, P)
+    P = jnp.where(r < g.rp, jnp.nan, P)
+    P = jnp.where(r == g.rp, g.Rpc, P)
+    return P
+
+
+def geodesic_position_rad(g: Geodesic, P):
+    """Radius r(P); NaN outside the valid range (as in the reference).
+
+    (reference: geodesic_position_rad, sim5kerr-geod.c:290-357;
+     RR_DBL/RR_BH/CC are unimplemented there and give NaN)
+    """
+    P = jnp.asarray(P, jnp.float64)
+    is_rr = g.gtype == GEOD_TYPE_RR
+    is_rc = g.gtype == GEOD_TYPE_RC
+
+    r1 = jnp.where(is_rr, g.rr[..., 0], 8.0)
+    r2 = jnp.where(is_rr, g.rr[..., 1], 6.0)
+    r3 = jnp.where(is_rr, g.rr[..., 2], 4.0)
+    r4 = jnp.where(is_rr, g.rr[..., 3], 2.0)
+    m4 = ((r2 - r3) * (r1 - r4)) / ((r2 - r4) * (r1 - r3))
+    Ps = jnp.where(jnp.isfinite(P), P, 0.0)
+    x4 = 0.5 * jnp.abs(Ps - g.Rpc) * jnp.sqrt((r1 - r3) * (r2 - r4))
+    sn2 = jacobi_sncndn(x4, m4)[0] ** 2
+    r_rr = (r1 * (r2 - r4) - r2 * (r1 - r4) * sn2) / (r2 - r4 - (r1 - r4) * sn2)
+
+    t1 = jnp.where(is_rc, g.rr[..., 0], 6.0)
+    t2 = jnp.where(is_rc, g.rr[..., 1], 2.0)
+    tu = jnp.where(is_rc, g.rr[..., 2], 0.0)
+    tv = jnp.where(is_rc, jnp.abs(g.ri[..., 2]), 1.0)
+    A = jnp.sqrt((t1 - tu) ** 2 + tv ** 2)
+    B = jnp.sqrt((t2 - tu) ** 2 + tv ** 2)
+    m2 = ((A + B) ** 2 - (t1 - t2) ** 2) / (4.0 * A * B)
+    cn = jacobi_sncndn(jnp.sqrt(A * B) * (g.Rpc - Ps), m2)[1]
+    r_rc = (t2 * A - t1 * B - (t2 * A + t1 * B) * cn) / ((A - B) - (A + B) * cn)
+    r_rc = jnp.where(P > g.Rpc, jnp.nan, r_rc)   # RC has no turning point
+
+    r = jnp.where(is_rr, r_rr, jnp.where(is_rc, r_rc, jnp.nan))
+    r = jnp.where((P <= 0.0) | (P >= 2.0 * g.Rpc), jnp.nan, r)
+    r = jnp.where(P == g.Rpc, g.rp, r)
+    return r
+
+
+def _fold_pol(g: Geodesic, P):
+    """Shared bookkeeping of theta-oscillations: returns (sign_dm, P - T)
+    where T is the last sign-flip value below P.
+
+    The reference's while loop (sim5kerr-geod.c:385-390) in closed form:
+    n = max(0, ceil((P - T0)/Tpp) - 1), T = T0 + n*Tpp, flip sign n times.
+    """
+    sign0 = jnp.where(g.beta >= 0.0, 1.0, -1.0)
+    T0 = jnp.where(sign0 > 0.0, -(g.Tpp - g.Tip), -g.Tip)
+    n = jnp.maximum(0.0, jnp.ceil((P - T0) / g.Tpp) - 1.0)
+    T = T0 + n * g.Tpp
+    sign_dm = sign0 * jnp.where(n % 2.0 == 0.0, 1.0, -1.0)
+    return sign_dm, P - T
+
+
+def geodesic_position_pol(g: Geodesic, P):
+    """Poloidal coordinate m(P) = cos(theta).  (sim5kerr-geod.c:362-407)"""
+    P = jnp.asarray(P, jnp.float64)
+    sign_dm, dT = _fold_pol(g, jnp.where(jnp.isfinite(P), P, 0.0))
+    m = -sign_dm * _theta_inv(g, dT)
+    live = (g.gtype == GEOD_TYPE_RR) | (g.gtype == GEOD_TYPE_RC) | (g.gtype == GEOD_TYPE_CC)
+    return jnp.where(live & jnp.isfinite(P), m, jnp.nan)
+
+
+def geodesic_dm_sign(g: Geodesic, P):
+    """Sign of d(m)/d(P) at position P.  (sim5kerr-geod.c:736-781)"""
+    P = jnp.asarray(P, jnp.float64)
+    sign_dm, _ = _fold_pol(g, jnp.where(jnp.isfinite(P), P, 0.0))
+    live = (g.gtype == GEOD_TYPE_RR) | (g.gtype == GEOD_TYPE_RC) | (g.gtype == GEOD_TYPE_CC)
+    return jnp.where(live & jnp.isfinite(P), sign_dm, jnp.nan)
+
+
+def geodesic_position_pol_sign_k_theta(g: Geodesic, P):
+    """Sign of k^theta at position P (dk[2] = -d(m)).  (sim5kerr-geod.c:413-457)"""
+    return -geodesic_dm_sign(g, P)
+
+
+def geodesic_position_azm(g: Geodesic, r, m, P):
+    """Azimuthal angle change between [r,m] and infinity.
+
+    (reference: geodesic_position_azm, sim5kerr-geod.c:462-555; the
+    reference's while loop contains a `break` making it a single `if`,
+    reproduced faithfully here)
+    """
+    r = jnp.asarray(r, jnp.float64)
+    m = jnp.asarray(m, jnp.float64)
+    P = jnp.asarray(P, jnp.float64)
+    is_rr = g.gtype == GEOD_TYPE_RR
+    is_rc = g.gtype == GEOD_TYPE_RC
+
+    a2 = g.a ** 2
+    rph = 1.0 + jnp.sqrt(1.0 - a2)   # outer horizon
+    rmh = 1.0 - jnp.sqrt(1.0 - a2)   # inner horizon
+    ppc = (g.nrr > 0) & (P > g.Rpc)
+
+    # RR radial part
+    r1 = jnp.where(is_rr, g.rr[..., 0], 8.0)
+    r2 = jnp.where(is_rr, g.rr[..., 1], 6.0)
+    r3 = jnp.where(is_rr, g.rr[..., 2], 4.0)
+    r4 = jnp.where(is_rr, g.rr[..., 3], 2.0)
+    rs = jnp.where(is_rr & (r >= r1), r, 10.0)
+    sgn = jnp.where(ppc, 1.0, -1.0)
+    A_rr = (integral_R_rp_re_inf(r1, r2, r3, r4, rph)
+            + sgn * integral_R_rp_re(r1, r2, r3, r4, rph, rs))
+    B_rr = (integral_R_rp_re_inf(r1, r2, r3, r4, rmh)
+            + sgn * integral_R_rp_re(r1, r2, r3, r4, rmh, rs))
+    phi_rr = 1.0 / jnp.sqrt(1.0 - a2) * (
+        A_rr * (g.a * rph - g.l * a2 / 2.0) - B_rr * (g.a * rmh - g.l * a2 / 2.0))
+
+    # RC radial part
+    t1 = jnp.where(is_rc, g.rr[..., 0], 6.0)
+    t2 = jnp.where(is_rc, g.rr[..., 1], 2.0)
+    tu = jnp.where(is_rc, g.rr[..., 2], 0.0)
+    tv = jnp.where(is_rc, jnp.abs(g.ri[..., 2]), 1.0)
+    rs_rc = jnp.where(is_rc & (r >= t1), r, 10.0)
+    A_rc = integral_R_rp_cc2_inf(t1, t2, tu, tv, rph, rs_rc)
+    B_rc = integral_R_rp_cc2_inf(t1, t2, tu, tv, rmh, rs_rc)
+    phi_rc = 1.0 / jnp.sqrt(1.0 - a2) * (
+        A_rc * (g.a * rph - g.l * a2 / 2.0) - B_rc * (g.a * rmh - g.l * a2 / 2.0))
+
+    phi = jnp.where(is_rr, phi_rr, jnp.where(is_rc, phi_rc, jnp.nan))
+
+    # T (poloidal) part
+    ms = jnp.where(jnp.isfinite(m), m, 0.0)
+    phi_pp = 2.0 * g.l / g.a * integral_T_mp(g.m2m, g.m2p, jnp.ones_like(g.a), jnp.zeros_like(g.a))
+    phi_ip = g.l / g.a * integral_T_mp(g.m2m, g.m2p, jnp.ones_like(g.a), g.cos_i)
+    phi_mp = g.l / g.a * integral_T_mp(g.m2m, g.m2p, jnp.ones_like(g.a), ms)
+
+    sign_dm = jnp.where(g.beta >= 0.0, 1.0, -1.0)
+    T = jnp.where(sign_dm > 0.0, -(g.Tpp - g.Tip), -g.Tip)
+    phi = phi - jnp.where(sign_dm > 0.0, phi_pp - phi_ip, phi_ip)
+    # single-iteration while (faithful to the reference's `break`)
+    once = P >= T + g.Tpp
+    phi = phi + jnp.where(once, phi_pp, 0.0)
+    sign_dm = jnp.where(once, -sign_dm, sign_dm)
+    phi = phi + jnp.where(sign_dm < 0.0, phi_mp, phi_pp - phi_mp)
+    return phi
+
+
+def geodesic_timedelay(g: Geodesic, P1, r1c, m1c, P2, r2c, m2c):
+    """Travel time between positions P1 and P2 (radial part, as in the
+    reference whose theta part is disabled, sim5kerr-geod.c:663-702).
+
+    (reference: geodesic_timedelay, sim5kerr-geod.c:559-731)
+    """
+    P1, P2 = jnp.asarray(P1, jnp.float64), jnp.asarray(P2, jnp.float64)
+    r1c = jnp.asarray(r1c, jnp.float64)
+    r2c = jnp.asarray(r2c, jnp.float64)
+    swap = P1 > P2
+    P1s, P2s = jnp.where(swap, P2, P1), jnp.where(swap, P1, P2)
+    x1 = jnp.where(swap, r2c, r1c)
+    x2 = jnp.where(swap, r1c, r2c)
+
+    a2 = g.a ** 2
+    rph = 1.0 + jnp.sqrt(1.0 - a2)
+    rmh = 1.0 - jnp.sqrt(1.0 - a2)
+    is_rr = g.gtype == GEOD_TYPE_RR
+    is_rc = g.gtype == GEOD_TYPE_RC
+
+    ra = jnp.where(is_rr, g.rr[..., 0], 8.0)
+    rb = jnp.where(is_rr, g.rr[..., 1], 6.0)
+    rc_ = jnp.where(is_rr, g.rr[..., 2], 4.0)
+    rd_ = jnp.where(is_rr, g.rr[..., 3], 2.0)
+    x1s = jnp.where(is_rr & (x1 >= ra), x1, 10.0)
+    x2s = jnp.where(is_rr & (x2 >= ra), x2, 12.0)
+    s = jnp.where(((P1s > g.Rpc) & (P2s < g.Rpc)) | ((P1s < g.Rpc) & (P2s > g.Rpc)),
+                  1.0, -1.0)
+    R0 = integral_R_r0_re(ra, rb, rc_, rd_, x1s) + s * integral_R_r0_re(ra, rb, rc_, rd_, x2s)
+    R1_ = integral_R_r1_re(ra, rb, rc_, rd_, x1s) + s * integral_R_r1_re(ra, rb, rc_, rd_, x2s)
+    R2_ = integral_R_r2_re(ra, rb, rc_, rd_, x1s) + s * integral_R_r2_re(ra, rb, rc_, rd_, x2s)
+    RA = (integral_R_rp_re(ra, rb, rc_, rd_, rph, x1s)
+          + s * integral_R_rp_re(ra, rb, rc_, rd_, rph, x2s))
+    RB = (integral_R_rp_re(ra, rb, rc_, rd_, rmh, x1s)
+          + s * integral_R_rp_re(ra, rb, rc_, rd_, rmh, x2s))
+    A = (-g.a * g.l + 4.0) * rph - 2.0 * a2
+    B = (g.a * g.l - 4.0) * rmh + 2.0 * a2
+    t_rr = (4.0 * jnp.abs(R0) + 2.0 * jnp.abs(R1_) + jnp.abs(R2_)
+            + (A * jnp.abs(RA) + B * jnp.abs(RB)) / jnp.sqrt(1.0 - a2))
+
+    ta = jnp.where(is_rc, g.rr[..., 0], 6.0)
+    tb = jnp.where(is_rc, g.rr[..., 1], 2.0)
+    tu = jnp.where(is_rc, g.rr[..., 2], 0.0)
+    tv = jnp.where(is_rc, jnp.abs(g.ri[..., 2]), 1.0)
+    lo = jnp.where(is_rc, jnp.minimum(x1, x2), 10.0)
+    hi = jnp.where(is_rc, jnp.maximum(x1, x2), 12.0)
+    R0c = (integral_R_r0_cc(ta, tb, tu, tv, lo)
+           - integral_R_r0_cc(ta, tb, tu, tv, hi))
+    R1c = integral_R_r1_cc(ta, tb, tu, tv, lo, hi)
+    R2c = integral_R_r2_cc(ta, tb, tu, tv, lo, hi)
+    RAc = integral_R_rp_cc2(ta, tb, tu, tv, rph, lo, hi)
+    RBc = integral_R_rp_cc2(ta, tb, tu, tv, rmh, lo, hi)
+    t_rc = (4.0 * jnp.abs(R0c) + 2.0 * jnp.abs(R1c) + jnp.abs(R2c)
+            + (A * jnp.abs(RAc) + B * jnp.abs(RBc)) / jnp.sqrt(1.0 - a2))
+
+    return jnp.where(is_rr, t_rr, jnp.where(is_rc, t_rc, jnp.nan))
+
+
+# ---------------------------------------------------------------------------
+# derived operations
+# ---------------------------------------------------------------------------
+
+def geodesic_find_midplane_crossing(g: Geodesic, order=0):
+    """P value where the geodesic crosses the equatorial plane (the fast path
+    for equatorial-disk images).  NaN when there is no such crossing.
+
+    (reference: geodesic_find_midplane_crossing, sim5kerr-geod.c:845-885)
+    """
+    order_f = jnp.asarray(order, jnp.float64)
+    u = g.cos_i / jnp.sqrt(g.m2p)
+    u_ok = jnp.abs(u) <= 1.0 + 1e-4
+    u = jnp.clip(u, -1.0, 1.0)
+    K = elliptic_k(g.mm)
+    icn = jacobi_icn(u, g.mm)
+    pos = g.mK * ((2.0 * order_f + 1.0) * K
+                  + jnp.where(g.beta > 0.0, icn,
+                              jnp.where(g.beta < 0.0, -icn, 0.0)))
+    pos = jnp.where(pos > 2.0 * g.Rpc, jnp.nan, pos)
+    pos = jnp.where((g.q <= 0.0) | ~u_ok | (g.status != GD_OK), jnp.nan, pos)
+    return pos
+
+
+def geodesic_momentum(g: Geodesic, P, r=None, m=None):
+    """Photon 4-momentum at position P (oriented along increasing P).
+
+    (reference: geodesic_momentum, sim5kerr-geod.c:786-840)
+    """
+    if r is None:
+        r = geodesic_position_rad(g, P)
+    if m is None:
+        m = geodesic_position_pol(g, P)
+    dm = geodesic_dm_sign(g, P)
+    rsign = jnp.where(P < g.Rpc, -1.0, 1.0)
+    k = photon_momentum(g.a, jnp.where(jnp.isfinite(r), r, 10.0),
+                        jnp.where(jnp.isfinite(m), m, 0.0),
+                        g.l, g.q, rsign, jnp.where(jnp.isfinite(dm), dm, 1.0))
+    live = (g.gtype == GEOD_TYPE_RR) | (g.gtype == GEOD_TYPE_RC) | (g.gtype == GEOD_TYPE_CC)
+    bad = ~live | ~jnp.isfinite(r) | ~jnp.isfinite(m)
+    return jnp.where(bad[..., None], jnp.nan, k)
+
+
+def geodesic_follow(g: Geodesic, step, P, r, m):
+    """Advance (P, r, m) by an affine step along the geodesic.
+
+    Like the reference (sim5kerr-geod.c:890-925) the step is taken in
+    affine-parameter units (dP = dl / (r^2 + a^2 m^2)) and clamped to
+    5e-2*sqrt(r) per substep; returns (P, r, m, status) with status=1 while
+    the ray remains inside the valid domain.
+
+    Implemented as a fixed-trip masked loop so whole batches advance in
+    lockstep (substeps: ceil(|step| / min-clamp) bounded by 64).
+    """
+    MAXSTEP = 5e-2
+    P = jnp.asarray(P, jnp.float64)
+    r = jnp.asarray(r, jnp.float64)
+    m = jnp.asarray(m, jnp.float64)
+    step = jnp.broadcast_to(jnp.asarray(step, jnp.float64), P.shape)
+
+    def body(carry, _):
+        P, r, m, remaining, active, failed = carry
+        truestep = jnp.sign(remaining) * jnp.minimum(
+            jnp.abs(remaining), MAXSTEP * jnp.sqrt(jnp.maximum(r, 1e-10)))
+        Pn = P + truestep / (r ** 2 + (g.a * m) ** 2)
+        rn = geodesic_position_rad(g, Pn)
+        mn = geodesic_position_pol(g, Pn)
+        hit_bh = rn < 1.01 * r_bh(g.a)
+        out = (Pn < 0.0) | (Pn > 2.0 * g.Rpc) | ~jnp.isfinite(rn)
+        ok = active & ~hit_bh & ~out
+        failed = failed | (active & (hit_bh | out))
+        P = jnp.where(ok, Pn, P)
+        r = jnp.where(ok, rn, r)
+        m = jnp.where(ok, mn, m)
+        remaining = jnp.where(ok, remaining - truestep, remaining)
+        active = ok & (jnp.abs(remaining) > 1e-5)
+        return (P, r, m, remaining, active, failed), None
+
+    import jax
+    active0 = jnp.abs(step) > 1e-5
+    failed0 = jnp.zeros(P.shape, bool)
+    (P, r, m, remaining, active, failed), _ = jax.lax.scan(
+        body, (P, r, m, step, active0, failed0), None, length=64)
+    status = jnp.where(failed, 0, 1)
+    return P, r, m, status
