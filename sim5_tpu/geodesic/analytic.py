@@ -345,12 +345,17 @@ def geodesic_position_rad(g: Geodesic, P):
     is_rr = g.gtype == GEOD_TYPE_RR
     is_rc = g.gtype == GEOD_TYPE_RC
 
+    # sanitize invalid P to mid-range: P->0 maps to r->infinity where the
+    # inversion denominators vanish (infinite d r/d P would NaN-poison
+    # reverse-mode gradients of masked pixels)
+    P_valid = jnp.isfinite(P) & (P > 0.0) & (P < 2.0 * g.Rpc)
+    Ps = jnp.where(P_valid, P, 0.5 * g.Rpc)
+
     r1 = jnp.where(is_rr, g.rr[..., 0], 8.0)
     r2 = jnp.where(is_rr, g.rr[..., 1], 6.0)
     r3 = jnp.where(is_rr, g.rr[..., 2], 4.0)
     r4 = jnp.where(is_rr, g.rr[..., 3], 2.0)
     m4 = ((r2 - r3) * (r1 - r4)) / ((r2 - r4) * (r1 - r3))
-    Ps = jnp.where(jnp.isfinite(P), P, 0.0)
     x4 = 0.5 * jnp.abs(Ps - g.Rpc) * jnp.sqrt((r1 - r3) * (r2 - r4))
     sn2 = jacobi_sncndn(x4, m4)[0] ** 2
     r_rr = (r1 * (r2 - r4) - r2 * (r1 - r4) * sn2) / (r2 - r4 - (r1 - r4) * sn2)
@@ -362,12 +367,14 @@ def geodesic_position_rad(g: Geodesic, P):
     A = jnp.sqrt((t1 - tu) ** 2 + tv ** 2)
     B = jnp.sqrt((t2 - tu) ** 2 + tv ** 2)
     m2 = ((A + B) ** 2 - (t1 - t2) ** 2) / (4.0 * A * B)
-    cn = jacobi_sncndn(jnp.sqrt(A * B) * (g.Rpc - Ps), m2)[1]
+    # RC valid domain is 0 < P < Rpc only (no turning point)
+    Ps_rc = jnp.where(P_valid & (P < g.Rpc), Ps, 0.5 * g.Rpc)
+    cn = jacobi_sncndn(jnp.sqrt(A * B) * (g.Rpc - Ps_rc), m2)[1]
     r_rc = (t2 * A - t1 * B - (t2 * A + t1 * B) * cn) / ((A - B) - (A + B) * cn)
     r_rc = jnp.where(P > g.Rpc, jnp.nan, r_rc)   # RC has no turning point
 
     r = jnp.where(is_rr, r_rr, jnp.where(is_rc, r_rc, jnp.nan))
-    r = jnp.where((P <= 0.0) | (P >= 2.0 * g.Rpc), jnp.nan, r)
+    r = jnp.where((P <= 0.0) | (P >= 2.0 * g.Rpc) | ~jnp.isfinite(P), jnp.nan, r)
     r = jnp.where(P == g.Rpc, g.rp, r)
     return r
 

@@ -1,0 +1,125 @@
+"""Device-mesh parallelism: pixel/ray sharding over TPU meshes.
+
+The reference has no in-tree parallel runtime -- users parallelize per-ray
+with OpenMP/MPI/CUDA (README.md:16,200-202).  The TPU-native design makes
+that a first-class layer: rays/pixels are data-parallel, so images and
+spectra shard over a 1-D (or host x chip) `jax.sharding.Mesh`; XLA inserts
+the `psum`/all-gather collectives for reductions (spectra, gradients) over
+ICI.  Ray paths never cross devices (SURVEY.md 2.3): there is no
+tensor/pipeline dimension to shard -- the "model" is a handful of scalars,
+replicated.
+
+Multi-host: call `init_distributed()` (jax.distributed) before building the
+mesh; the same code then spans hosts with DCN between slices.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..disk import nt_setup
+from ..render.image import render_disk_image, image_grid
+from ..core import r_ms
+
+
+def init_distributed(coordinator=None, num_processes=None, process_id=None):
+    """Initialize the multi-host JAX runtime (no-op if single-process).
+
+    Replaces the user-side MPI setup of the reference workflow.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator, num_processes, process_id)
+
+
+def make_mesh(devices=None, axis_name="rays"):
+    """1-D device mesh over all (or given) devices; pixels shard over it."""
+    if devices is None:
+        devices = jax.devices()
+    import numpy as np
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_image_rows(arr, mesh: Mesh, axis_name="rays"):
+    """Place a (ny, nx) pixel-grid array row-sharded across the mesh."""
+    return jax.device_put(arr, NamedSharding(mesh, P(axis_name, None)))
+
+
+@partial(jax.jit, static_argnames=("npix_x", "npix_y"))
+def _render_from_grid(M, a, mdot, alpha_visc, incl, alpha, beta, npix_x, npix_y):
+    disk = nt_setup(M, a, mdot, alpha_visc)
+    from ..render.image import render_disk_image as _r
+
+    # inline of render_disk_image with an externally supplied (sharded) grid
+    from ..geodesic import (geodesic_init_inf, geodesic_find_midplane_crossing,
+                            geodesic_position_rad)
+    from ..core import gfactorK
+    from ..disk import nt_flux
+
+    rms = disk.rms - 1e-3
+    g = geodesic_init_inf(incl, disk.a, alpha, beta)
+
+    def shade(order):
+        Pv = geodesic_find_midplane_crossing(g, order)
+        r = geodesic_position_rad(g, Pv)
+        hit = jnp.isfinite(r) & (r >= rms) & (g.status == 0)
+        r_safe = jnp.where(hit, r, rms + 1.0)
+        gf = gfactorK(r_safe, disk.a, g.l)
+        f = nt_flux(disk, r_safe)
+        return jnp.isfinite(Pv), hit, jnp.where(hit, f * gf ** 4, 0.0), \
+            jnp.where(hit, gf, 0.0)
+
+    has0, hit0, f0, g0 = shade(0)
+    _, hit1, f1, g1 = shade(1)
+    use1 = has0 & ~hit0
+    return (jnp.where(hit0, f0, jnp.where(use1, f1, 0.0)),
+            jnp.where(hit0, g0, jnp.where(use1, g1, 0.0)))
+
+
+def render_disk_image_sharded(mesh: Mesh, M, a, mdot, alpha_visc, incl,
+                              npix_x=512, npix_y=512, rmax=None):
+    """Render an NT-disk image with pixel rows sharded over the mesh.
+
+    The pixel grid carries a row sharding; under jit, XLA partitions the
+    whole (embarrassingly parallel) pipeline with zero communication, and
+    any downstream reduction (spectrum, loss, gradient) inserts `psum` over
+    ICI automatically.
+    """
+    if rmax is None:
+        rmax = float(r_ms(a)) + 8.0
+    alpha, beta = image_grid(npix_x, npix_y, rmax)
+    alpha = shard_image_rows(jnp.broadcast_to(alpha, (npix_y, npix_x)), mesh)
+    beta = shard_image_rows(jnp.broadcast_to(beta, (npix_y, npix_x)), mesh)
+    return _render_from_grid(M, a, mdot, alpha_visc, incl, alpha, beta,
+                             npix_x, npix_y)
+
+
+def fit_step_sharded(mesh: Mesh, params, target_image, incl,
+                     npix_x=64, npix_y=64, lr=1e-3):
+    """One gradient step of fitting disk parameters (M, a, mdot) to a target
+    image -- the "training step" of this framework.  Pixels are sharded over
+    the mesh (data parallel); the scalar loss and parameter gradients are
+    reduced across devices by XLA collectives (grad all-reduce).
+
+    Returns (new_params, loss).
+    """
+    M, a, mdot = params
+    alpha, beta = image_grid(npix_x, npix_y, float(r_ms(a)) + 8.0)
+    alpha = shard_image_rows(jnp.broadcast_to(alpha, (npix_y, npix_x)), mesh)
+    beta = shard_image_rows(jnp.broadcast_to(beta, (npix_y, npix_x)), mesh)
+    target = shard_image_rows(target_image, mesh)
+
+    @jax.jit
+    def step(M, a, mdot, alpha, beta, target):
+        def loss_fn(M, a, mdot):
+            imf, _ = _render_from_grid(M, a, mdot, 0.1, incl, alpha, beta,
+                                       npix_x, npix_y)
+            scale = 1e26
+            return jnp.mean((imf / scale - target / scale) ** 2)
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(M, a, mdot)
+        gM, ga, gmdot = grads
+        return (M - lr * gM, a - lr * ga, mdot - lr * gmdot), loss
+
+    (Mn, an, mdn), loss = step(M, a, mdot, alpha, beta, target)
+    return (Mn, an, mdn), loss

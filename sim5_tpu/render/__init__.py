@@ -1,0 +1,3 @@
+"""Rendering drivers: disk images, spectra, light curves."""
+
+from .image import image_grid, render_disk_image, render_disk_image_jit

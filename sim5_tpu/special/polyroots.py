@@ -43,16 +43,18 @@ def cubic_roots(p, q, r):
     Q = (p * p - 3.0 * q) / 9.0
     R = (2.0 * p ** 3 - 9.0 * p * q + 27.0 * r) / 54.0
     three_real = R * R < Q ** 3
-    # three real roots
+    # three real roots -- inputs sanitized in the untaken branch so that
+    # arccos'(+-1) / sqrt'(0) infinities cannot poison gradients
     Q_safe = jnp.where(Q > 0.0, Q, 1.0)
-    arg = jnp.clip(R / jnp.sqrt(Q_safe ** 3), -1.0, 1.0)
-    th = jnp.arccos(arg)
+    arg = jnp.where(three_real, R / jnp.sqrt(Q_safe ** 3), 0.0)
+    th = jnp.arccos(jnp.clip(arg, -1.0, 1.0))
     sq = jnp.sqrt(Q_safe)
     x1 = -2.0 * sq * jnp.cos(th / 3.0) - p / 3.0
     x2 = -2.0 * sq * jnp.cos((th + 2.0 * jnp.pi) / 3.0) - p / 3.0
     x3 = -2.0 * sq * jnp.cos((th - 2.0 * jnp.pi) / 3.0) - p / 3.0
     # one real root
-    A = -jnp.sign(R) * (jnp.abs(R) + jnp.sqrt(jnp.maximum(R * R - Q ** 3, 0.0))) ** (1.0 / 3.0)
+    disc = jnp.where(three_real, 1.0, R * R - Q ** 3)
+    A = -jnp.sign(R) * (jnp.abs(R) + jnp.sqrt(disc)) ** (1.0 / 3.0)
     A_safe = jnp.where(A == 0.0, 1.0, A)
     B = jnp.where(A == 0.0, 0.0, Q / A_safe)
     y1 = (A + B) - p / 3.0
