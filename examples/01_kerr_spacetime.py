@@ -1,0 +1,25 @@
+"""Characteristic Kerr orbit radii vs spin.
+
+TPU-native twin of the reference example 01
+(examples/01-kerr-spacetime/kerr-orbits.c): one vectorized evaluation over
+the whole spin grid instead of a scalar loop.
+
+Run: python examples/01_kerr_spacetime.py
+"""
+
+import numpy as np
+
+from sim5_tpu.core import r_bh, r_ph, r_mb, r_ms
+
+a = np.arange(0.0, 1.0, 0.01)
+
+print("# Locations of black-hole horizon (r_bh), photon orbit radius (r_ph),")
+print("# marginally bound orbit (r_mb) and marginally stable orbit (r_ms)")
+print("# in Kerr spacetime as a function of black-hole spin.")
+print("# Line format: spin  r_bh  r_ph  r_mb  r_ms")
+print("# Units: gravitational radius [GM/c2]")
+print("# ----")
+
+for ai, bh, ph, mb, ms in zip(a, np.asarray(r_bh(a)), np.asarray(r_ph(a)),
+                              np.asarray(r_mb(a)), np.asarray(r_ms(a))):
+    print(f"{ai:.4f}  {bh:e}  {ph:e}  {mb:e}  {ms:e}")

@@ -563,7 +563,11 @@ def geodesic_find_midplane_crossing(g: Geodesic, order=0):
 def geodesic_momentum(g: Geodesic, P, r=None, m=None):
     """Photon 4-momentum at position P (oriented along increasing P).
 
-    (reference: geodesic_momentum, sim5kerr-geod.c:786-840)
+    Sign convention caveat (faithful to the reference,
+    sim5kerr-geod.c:815-822): the poloidal component k[2] is signed by
+    dm/dP -- NOT by dtheta/dlambda.  Since m = cos(theta), physical k^theta
+    has the opposite sign; flip k[2] when feeding this vector to the
+    stepwise integrator (which integrates theta).
     """
     if r is None:
         r = geodesic_position_rad(g, P)

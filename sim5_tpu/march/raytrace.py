@@ -1,0 +1,199 @@
+"""Step-wise null-geodesic integrator (the "marching" engine).
+
+Batched, lockstep equivalent of sim5raytrace.c: direct integration of
+d2x/dlambda2 = -Gamma k k with curvature-adaptive per-ray step size and
+conserved-quantity error tracking (energy kt drift per step, Carter
+constant drift per ray).
+
+TPU-native design: the reference's Dolence+09 predictor/corrector with
+revert-and-RK4 fallback (sim5raytrace.c:164-227) is a scalar-CPU
+optimization to save connection evaluations; under lockstep batching the
+masked fallback would evaluate RK4 for every ray anyway, so this engine
+always takes the classical RK4 step (4 fused connection evaluations, no
+divergence) with the same adaptive step-size rule and the same error
+gates.  Each ray carries its own dl; rays finish independently via active
+masks inside one `lax.while_loop`.
+
+Accuracy contract (matches the reference test gates,
+src/sim5unittests.c:151-154): Carter-constant relative drift < 1e-3 over a
+full ray at default precision.
+"""
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import (kerr_metric, flat_metric, kerr_connection, flat_connection,
+                    geodesic_accel, dotprod, photon_carter_const, r_bh)
+
+RTOPT_NONE = 0
+RTOPT_FLAT = 1          # Minkowski instead of Kerr (sim5raytrace.h:21-23)
+RTOPT_POLARIZATION = 2  # transport a polarization vector along the ray
+
+_TINY = 1e-40
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=("x", "k", "f", "a", "E", "Q", "kt", "error", "steps",
+                      "step_epsilon"),
+         meta_fields=("opt_gr", "opt_pol"))
+@dataclasses.dataclass(frozen=True)
+class RaytraceState:
+    """Per-ray integration state (the reference's raytrace_data + x,k).
+
+    `opt_gr`/`opt_pol` are static pytree metadata (compile-time switches).
+    """
+    x: jnp.ndarray        # (...,4) position [t, r, m=cos(theta), phi]
+    k: jnp.ndarray        # (...,4) photon momentum
+    f: jnp.ndarray        # (...,4) polarization vector (zeros if unused)
+    a: jnp.ndarray        # BH spin (broadcast)
+    E: jnp.ndarray        # initial energy -k_t
+    Q: jnp.ndarray        # initial Carter constant
+    kt: jnp.ndarray       # current k_t (drift monitor)
+    error: jnp.ndarray    # last-step relative error
+    steps: jnp.ndarray    # int32 step counter ("pass" in the reference)
+    step_epsilon: jnp.ndarray
+    opt_gr: bool = True   # static: GR vs flat
+    opt_pol: bool = False # static: transport f
+
+    def _replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+def _metric_conn(state, r, m):
+    if state.opt_gr:
+        return kerr_metric(state.a, r, m), kerr_connection(state.a, r, m)
+    return flat_metric(r, m), flat_connection(r, m)
+
+
+def raytrace_prepare(a, x, k, f=None, precision=0.01, options=RTOPT_NONE):
+    """Initialize the integration state; checks are soft (NaN-poisoning).
+
+    (reference: raytrace_prepare, sim5raytrace.c:44-94)
+    """
+    x = jnp.asarray(x, jnp.float64)
+    k = jnp.asarray(k, jnp.float64)
+    a = jnp.broadcast_to(jnp.asarray(a, jnp.float64), x.shape[:-1])
+    opt_gr = not (options & RTOPT_FLAT)
+    opt_pol = bool(options & RTOPT_POLARIZATION)
+    if f is None:
+        f = jnp.zeros_like(k)
+    m = (kerr_metric(a, x[..., 1], x[..., 2]) if opt_gr
+         else flat_metric(x[..., 1], x[..., 2]))
+    E = k[..., 0] * m.g00 + k[..., 3] * m.g03
+    Q = photon_carter_const(k, m)
+    eps = jnp.broadcast_to(jnp.sqrt(jnp.asarray(precision, jnp.float64)) / 10.0,
+                           a.shape)
+    return RaytraceState(x, k, jnp.asarray(f, jnp.float64), a, E, Q, E,
+                         jnp.zeros_like(E), jnp.zeros(a.shape, jnp.int32),
+                         eps, opt_gr, opt_pol)
+
+
+def _rk4_step(state: RaytraceState, dl):
+    """One classical RK4 step of (x, k[, f]) with theta as the poloidal
+    coordinate during the step (the reference does the same inside its RK4
+    fallback, sim5raytrace.c:269-298)."""
+    x = state.x
+    k = state.k
+    f = state.f
+    # switch m=cos(theta) -> theta
+    xth = x.at[..., 2].set(jnp.arccos(jnp.clip(x[..., 2], -1.0, 1.0)))
+    dl_ = dl[..., None]
+
+    def accel(xp, kp, fp):
+        _, G = _metric_conn(state, xp[..., 1], jnp.cos(xp[..., 2]))
+        dk = geodesic_accel(G, kp)
+        df = geodesic_accel(G, fp) if state.opt_pol else fp
+        if state.opt_pol:
+            # parallel transport: df^i = -Gamma^i_jk k^j f^k
+            df = -jnp.einsum('...ijk,...j,...k->...i', G, kp, fp)
+        return dk, df
+
+    k1 = k
+    dk1, df1 = accel(xth, k1, f)
+    k2 = k + dk1 * 0.5 * dl_
+    dk2, df2 = accel(xth + k1 * 0.5 * dl_, k2, f + df1 * 0.5 * dl_)
+    k3 = k + dk2 * 0.5 * dl_
+    dk3, df3 = accel(xth + k2 * 0.5 * dl_, k3, f + df2 * 0.5 * dl_)
+    k4 = k + dk3 * dl_
+    dk4, df4 = accel(xth + k3 * dl_, k4, f + df3 * dl_)
+
+    xn = xth + dl_ / 6.0 * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+    kn = k + dl_ / 6.0 * (dk1 + 2.0 * dk2 + 2.0 * dk3 + dk4)
+    fn = f + dl_ / 6.0 * (df1 + 2.0 * df2 + 2.0 * df3 + df4) \
+        if state.opt_pol else f
+    xn = xn.at[..., 2].set(jnp.cos(xn[..., 2]))
+    return xn, kn, fn
+
+
+def raytrace_step(state: RaytraceState, max_step=1e9, active=None):
+    """Advance every (active) ray by one adaptive step.
+
+    Step size: dl = min(max_step, eps / sum_i |dk_i|/|k_i|), floored at 1e-3
+    (reference: sim5raytrace.c:164-166).  Returns (state, dl_taken).
+    """
+    if active is None:
+        active = jnp.ones(state.x.shape[:-1], bool)
+    _, G = _metric_conn(state, state.x[..., 1], state.x[..., 2])
+    dk = geodesic_accel(G, state.k)
+    curv = jnp.sum(jnp.abs(dk) / (jnp.abs(state.k) + _TINY), axis=-1) + _TINY
+    dl = jnp.minimum(jnp.asarray(max_step, jnp.float64), state.step_epsilon / curv)
+    dl = jnp.maximum(dl, 1e-3)
+    dl = jnp.where(active, dl, 0.0)
+
+    xn, kn, fn = _rk4_step(state, dl)
+    mn = (kerr_metric(state.a, xn[..., 1], xn[..., 2]) if state.opt_gr
+          else flat_metric(xn[..., 1], xn[..., 2]))
+    kt_new = kn[..., 0] * mn.g00 + kn[..., 3] * mn.g03
+    kk = jnp.abs(dotprod(kn, kn, mn))
+    err = jnp.maximum(jnp.abs(kt_new - state.kt) / (jnp.abs(state.kt) + _TINY), kk)
+
+    sel = active[..., None]
+    return state._replace(
+        x=jnp.where(sel, xn, state.x),
+        k=jnp.where(sel, kn, state.k),
+        f=jnp.where(sel, fn, state.f),
+        kt=jnp.where(active, kt_new, state.kt),
+        error=jnp.where(active, err, state.error),
+        steps=state.steps + active.astype(jnp.int32),
+    ), dl
+
+
+def raytrace_error(state: RaytraceState):
+    """Global integration error: relative Carter-constant drift.
+
+    (reference: raytrace_error, sim5raytrace.c:327-343)
+    """
+    m = (kerr_metric(state.a, state.x[..., 1], state.x[..., 2]) if state.opt_gr
+         else flat_metric(state.x[..., 1], state.x[..., 2]))
+    Q = photon_carter_const(state.k, m)
+    return jnp.abs(Q - state.Q) / (jnp.abs(state.Q) + _TINY)
+
+
+@partial(jax.jit, static_argnames=("max_steps",))
+def raytrace(state: RaytraceState, r_max=1e4, max_steps=10000,
+             error_stop=1e-2):
+    """Integrate all rays until they fall below 1.05*r_bh, escape past
+    r_max, exceed the error gate, or hit max_steps.
+
+    Returns (final_state, active_mask_still_running).
+    """
+    r_min = 1.05 * r_bh(state.a)
+
+    def cond(carry):
+        st, active = carry
+        return jnp.any(active) & (jnp.max(st.steps) < max_steps)
+
+    def body(carry):
+        st, active = carry
+        st, _ = raytrace_step(st, active=active)
+        r = st.x[..., 1]
+        active = (active & (r > r_min) & (r < r_max)
+                  & (st.error < error_stop) & jnp.isfinite(r))
+        return st, active
+
+    active0 = jnp.ones(state.x.shape[:-1], bool)
+    state, active = jax.lax.while_loop(cond, body, (state, active0))
+    return state, active

@@ -1,3 +1,9 @@
-"""Rendering drivers: disk images, spectra, light curves."""
+"""Rendering drivers: disk images, spectra, surface solving."""
 
 from .image import image_grid, render_disk_image, render_disk_image_jit
+from .driver import (
+    DiskRaytrace, DiskSpectrum, DiskSpectrum_BlackBody,
+    disk_tetrad, observed_gfactor, emission_angle,
+    vertical_gravity, spectral_hardening, find_surface,
+)
+from .polarized import render_polarized_image, chandrasekhar_poldeg

@@ -1,0 +1,349 @@
+"""High-level disk raytracing driver (images, spectra, surface solving).
+
+Batched TPU-native equivalent of the reference application layer
+(python/sim5diskraytrace.py): renders disk images and observed spectra for
+any `DiskModel` (razor-thin via the analytic midplane crossing; thick disks
+via a batched surface-intersection march along the analytic geodesic).
+
+Everything evaluates whole pixel batches in lockstep; the per-pixel Python
+loops of the reference (sim5diskraytrace.py:163-206) are gone.
+"""
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import consts
+from ..core import (kerr_metric, tetrad_surface, on2bl, dotprod,
+                    Omega_from_ell, r_bh, photon_momentum)
+from ..disk import DiskModel
+from ..geodesic import (
+    geodesic_init_inf, geodesic_find_midplane_crossing, geodesic_position_rad,
+    geodesic_position_pol, geodesic_P_int, geodesic_follow,
+)
+from ..radiation import blackbody_Iv
+
+
+# ---------------------------------------------------------------------------
+# local-frame helpers (sim5diskraytrace.py:340-430)
+# ---------------------------------------------------------------------------
+
+def disk_tetrad(a, r, m, disk: DiskModel):
+    """Tetrad attached to the disk surface at (r, m).
+
+    (reference: DiskRaytrace.__tetrad, sim5diskraytrace.py:340-349)
+    """
+    R = r * jnp.sqrt(1.0 - m * m)
+    metric = kerr_metric(a, r, m)
+    Omega = Omega_from_ell(disk.ell(R), metric)
+    dhdr = jnp.where(m > 0.0, disk.dhdr(R), 0.0)
+    return tetrad_surface(metric, Omega, disk.vr(R), dhdr)
+
+
+def observed_gfactor(k, tetrad):
+    """Energy shift g = k_t(infinity)/(k.U) of a photon INCOMING to the local
+    frame (backward raytracing).  (sim5diskraytrace.py:353-362)"""
+    m = tetrad.metric
+    U = tetrad.e[..., 0, :]
+    g = (k[..., 0] * m.g00 + k[..., 3] * m.g03) / dotprod(k, U, m)
+    return jnp.maximum(g, 0.0)
+
+
+def emission_angle(k, tetrad):
+    """Cosine of the emission angle mu_e = (k.N)/(k.U).
+
+    (sim5diskraytrace.py:377-401; small negatives from dH/dR imperfections
+    are snapped to 1e-3 as in the reference)
+    """
+    m = tetrad.metric
+    U = tetrad.e[..., 0, :]
+    N = tetrad.e[..., 2, :]
+    mue = dotprod(k, N, m) / dotprod(k, U, m)
+    mue = jnp.where((mue < 0.0) & (mue > -1e-2), 1e-3, mue)
+    return mue
+
+
+def vertical_gravity(R, tetrad, bh_mass, bh_spin):
+    """Vertical gravitational acceleration at the disk surface [s^-2]
+    (Zhu+2012).  (sim5diskraytrace.py:405-414)"""
+    m = tetrad.metric
+    U = tetrad.e[..., 0, :]
+    u_t = U[..., 0] * m.g00 + U[..., 3] * m.g03
+    u_f = U[..., 0] * m.g03 + U[..., 3] * m.g33
+    return (bh_mass * consts.solar_mass * consts.grav_const
+            / (R * bh_mass * consts.grav_radius) ** 3
+            * (u_f ** 2 + bh_spin ** 2 * (u_t - 1.0)) / R)
+
+
+def spectral_hardening(T, mdot):
+    """Spectral hardening factor fit (You+2015, arXiv:1506.03959).
+
+    (sim5diskraytrace.py:418-430)
+    """
+    t4 = T / 1e4
+    m4 = ((mdot + 0.1) / 0.2) ** 0.24
+    t4s = jnp.maximum(t4, 1e-30)
+    return jnp.where(t4 > 10.0, 1.6 * m4,
+                     jnp.where(t4 > 1.0, (t4s / 3.0) ** 0.3904 * m4, m4))
+
+
+# ---------------------------------------------------------------------------
+# spectral models (python/sim5diskspectrum.py)
+# ---------------------------------------------------------------------------
+
+class DiskSpectrum:
+    """Base spectral model protocol: spectrum(T, mu, f, E) -> Iv."""
+
+    def spectrum(self, T, mu, f, E):
+        raise NotImplementedError
+
+
+class DiskSpectrum_BlackBody(DiskSpectrum):
+    """Planck spectrum with hardening factor and limb darkening.
+
+    (reference: DiskSpectrum_BlackBody, sim5diskspectrum.py:48-88)
+    """
+
+    def spectrum(self, T, mu, f, E):
+        T = jnp.asarray(T, jnp.float64)
+        Iv = blackbody_Iv(T[..., None], f[..., None], mu[..., None], E)
+        return jnp.where(T[..., None] >= 1e2, Iv, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# thick-disk surface intersection
+# ---------------------------------------------------------------------------
+
+def find_surface(g, disk: DiskModel, accuracy=1e-2, max_steps=512):
+    """Find where each geodesic first intersects the disk photosphere
+    H = disk.h(R), marching along the analytic solution with step halving.
+
+    Batched equivalent of DiskRaytrace.__find_surface
+    (sim5diskraytrace.py:257-336).  Returns (P, r, m, ok).
+    """
+    disk_theta = jnp.arctan(disk.h(jnp.asarray(1e6)) / 1e6)
+    r0 = jnp.maximum(jnp.maximum(200.0, 1.1 * g.rp),
+                     0.5 * jnp.sqrt(g.alpha ** 2 + g.beta ** 2)
+                     / jnp.cos(g.incl + disk_theta))
+
+    # expand r0 (x2) until the start point lies above the surface
+    def expand(_, r0):
+        P1 = geodesic_P_int(g, r0, 0)
+        r1 = geodesic_position_rad(g, P1)
+        m1 = geodesic_position_pol(g, P1)
+        H1 = r1 * m1
+        Hd = disk.h(r1 * jnp.sqrt(1.0 - m1 ** 2))
+        return jnp.where((Hd >= H1) & (r0 < 5e6), 2.0 * r0, r0)
+
+    r0 = jax.lax.fori_loop(0, 16, expand, r0)
+    P = geodesic_P_int(g, r0, 0)
+    r = geodesic_position_rad(g, P)
+    m = geodesic_position_pol(g, P)
+    H = r * m
+    Hd = disk.h(r * jnp.sqrt(1.0 - m ** 2))
+    alive = (Hd < H) & jnp.isfinite(P) & (g.status == 0)
+
+    state = dict(P=P, r=jnp.where(alive, r, 10.0), m=jnp.where(alive, m, 0.5),
+                 sf=jnp.ones_like(r), alive=alive,
+                 done=jnp.zeros(r.shape, bool))
+
+    def body(i, st):
+        P, r, m, sf, alive, done = (st["P"], st["r"], st["m"], st["sf"],
+                                    st["alive"], st["done"])
+        R = r * jnp.sqrt(1.0 - m ** 2)
+        H = r * m
+        Hd = disk.h(R)
+        step = jnp.maximum(accuracy / 2.0,
+                           jnp.minimum((H - Hd) / 2.0,
+                                       0.5 * (jnp.sqrt(jnp.maximum(r, 1.0)) - 0.99) * sf))
+        Pn, rn, mn, stat = geodesic_follow(g, step, P, r, m)
+        Rn = rn * jnp.sqrt(1.0 - mn ** 2)
+        Hn = rn * mn
+        Hdn = disk.h(Rn)
+        crossed = (Hn <= Hdn) & alive & ~done
+        # surface hit at fine resolution -> step back half and stop
+        fine = crossed & (step < accuracy)
+        Pb, rb, mb, _ = geodesic_follow(g, -step / 2.0, Pn, rn, mn)
+        # crossed but coarse -> revert the step, reduce step factor
+        Pc, rc_, mc, _ = geodesic_follow(g, -step, Pn, rn, mn)
+        # equatorial-plane shortcut (thin outer region)
+        eqhit = (jnp.abs(Hn) < 1e-4) & alive & ~done & ~crossed
+        P_eq = geodesic_find_midplane_crossing(g, 0)
+        r_eq = geodesic_position_rad(g, P_eq)
+        m_eq = geodesic_position_pol(g, P_eq)
+
+        fail = alive & ~done & ((stat == 0) | (rn < 1.05 * r_bh(g.a)) | (mn < 0.0))
+
+        P_out = jnp.where(fine, Pb, jnp.where(crossed, Pc, jnp.where(eqhit, P_eq, Pn)))
+        r_out = jnp.where(fine, rb, jnp.where(crossed, rc_, jnp.where(eqhit, r_eq, rn)))
+        m_out = jnp.where(fine, mb, jnp.where(crossed, mc, jnp.where(eqhit, m_eq, mn)))
+        sf = jnp.where(crossed & ~fine, sf / 5.0, sf)
+        done_n = done | fine | eqhit
+        alive_n = alive & ~fail & ~done_n
+
+        upd = alive & ~done
+        return dict(P=jnp.where(upd, P_out, P), r=jnp.where(upd, r_out, r),
+                    m=jnp.where(upd, m_out, m), sf=sf,
+                    alive=jnp.where(upd, alive_n, alive),
+                    done=jnp.where(upd, done_n, done))
+
+    state = jax.lax.fori_loop(0, max_steps, body, state)
+    ok = state["done"]
+    return state["P"], state["r"], state["m"], ok
+
+
+# ---------------------------------------------------------------------------
+# the driver
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class DiskRaytrace:
+    """Raytracing from a disk photosphere to an observer at infinity.
+
+    (reference: DiskRaytrace, python/sim5diskraytrace.py:16-462)
+    """
+    bh_mass: float
+    bh_spin: float
+    bh_dist: float              # [kpc]
+    disk: DiskModel
+    spectra: DiskSpectrum
+    r_max: float = 1e6
+
+    def __post_init__(self):
+        self.bh_spin = max(self.bh_spin, 1e-4)
+
+    def geodesic(self, incl, alpha, beta, flat=None):
+        """Batched pixel->surface solver.
+
+        Returns (r, m, g, k, ok); k is the photon momentum pointing from
+        the disk outward (the reference's convention,
+        sim5diskraytrace.py:250: r_sign=Rpc-P, m_sign=+1).
+        """
+        if flat is None:
+            flat = bool(np.asarray(self.disk.h(jnp.asarray(1e5))) == 0.0)
+        g = geodesic_init_inf(incl, self.bh_spin, alpha, beta)
+        if flat:
+            P = geodesic_find_midplane_crossing(g, 0)
+            r = geodesic_position_rad(g, P)
+            m = jnp.zeros_like(r)
+            ok = jnp.isfinite(r) & (g.status == 0)
+        else:
+            P, r, m, ok = find_surface(g, self.disk)
+        r_s = jnp.where(ok, r, 10.0)
+        m_s = jnp.where(ok, m, 0.0)
+        P_s = jnp.where(ok, P, 1.0)
+        k = photon_momentum(self.bh_spin, r_s, m_s, g.l, g.q,
+                            g.Rpc - P_s, jnp.ones_like(r_s))
+        return r_s, m_s, g, k, ok
+
+    def image(self, incl_deg, rmax, N, limbdk=1):
+        """Disk image: flux, g-factor, emission angle, T, R, H, vr maps.
+
+        (reference: DiskRaytrace.image, sim5diskraytrace.py:138-210)
+        """
+        incl = np.radians(max(1.0, incl_deg))
+        xs = ((jnp.arange(N) + 0.5) / N - 0.5) * 2.0 * rmax
+        alpha, beta = jnp.meshgrid(xs, xs)  # beta rows, alpha cols
+        dOmega = (2.0 * rmax / N) ** 2 / (
+            (self.bh_mass * consts.grav_radius)
+            / (self.bh_dist * consts.parsec * 1e3)) ** 2
+
+        r, m, g, k, ok = self.geodesic(incl, alpha, beta)
+        R = r * jnp.sqrt(1.0 - m * m)
+        F = self.disk.flux(R)
+        T = self.disk.t_eff(R)
+        V = self.disk.vr(R)
+        ok = ok & (F > 0.0)
+
+        tet = disk_tetrad(self.bh_spin, r, m, self.disk)
+        gf = observed_gfactor(k, tet)
+        mue = jnp.clip(emission_angle(k, tet), 1e-4, 1.0 - 1e-6)
+        limb = jnp.where(limbdk > 0, 0.5 + 0.75 * mue, 1.0)
+        ok = ok & (gf > 0.0)
+
+        z = jnp.where(ok, 1.0, jnp.nan)
+        return {
+            "flux": z * F * gf ** 4 * limb * dOmega,
+            "gfactor": z * gf,
+            "mue": z * jnp.degrees(jnp.arccos(mue)),
+            "T": z * T,
+            "R": z * R,
+            "H": z * r * m,
+            "V": z * V,
+        }
+
+    def _radial_grid(self, incl, radres, angres):
+        """Polar observer-plane grid of the reference spectrum() driver
+        (data-independent; precomputed host-side)."""
+        radii = []
+        drs = []
+        rx = float(r_bh(self.bh_spin))
+        while rx < self.r_max * 1.1:
+            dr = radres * (1.0 + rx / 5.0)
+            radii.append(rx)
+            drs.append(dr)
+            rx += dr
+        nphi = int(np.floor(angres / np.sqrt(np.cos(incl))))
+        return np.asarray(radii), np.asarray(drs), nphi
+
+    def spectrum(self, incl_deg, energies, limbdk=1, flat=0,
+                 radres=0.15, angres=90.0, hardening=0.0, batch=8192):
+        """Observed disk spectrum [erg/s/cm2/keV] on the detector energy
+        grid, by solid-angle-weighted accumulation over a polar grid of the
+        observer plane.
+
+        (reference: DiskRaytrace.spectrum, sim5diskraytrace.py:43-134)
+        """
+        incl = np.radians(max(1.0, incl_deg))
+        energies = jnp.asarray(energies, jnp.float64)
+        radii, drs, nphi = self._radial_grid(incl, radres, angres)
+        dphi = 2.0 * np.pi / nphi
+        phis = np.arange(nphi) * dphi
+
+        rx = np.repeat(radii, nphi)
+        drx = np.repeat(drs, nphi)
+        phi = np.tile(phis, len(radii))
+        alpha = -rx * np.cos(phi)
+        beta = -rx * np.sin(phi) * np.cos(incl)
+        dOmega = (np.cos(incl) * (rx + drx / 2.0) * drx * dphi
+                  * ((self.bh_mass * consts.grav_radius)
+                     / (self.bh_dist * consts.parsec * 1e3)) ** 2)
+
+        is_flat = bool(flat) or bool(np.asarray(self.disk.h(jnp.asarray(1e5))) == 0.0)
+
+        @jax.jit
+        def shard(alpha, beta, dOmega):
+            r, m, g, k, ok = self.geodesic(incl, alpha, beta, flat=is_flat)
+            R = r * jnp.sqrt(1.0 - m * m)
+            T = self.disk.t_eff(R)
+            ok = ok & (T > 0.0)
+            tet = disk_tetrad(self.bh_spin, r, m, self.disk)
+            gf = observed_gfactor(k, tet)
+            mue = jnp.where(limbdk > 0, emission_angle(k, tet), -1.0)
+            ok = ok & (gf > 0.0)
+            f = jnp.where(hardening > 0, hardening,
+                          spectral_hardening(T, self.disk.mdot()))
+            gf_s = jnp.where(ok, gf, 1.0)
+            Iv_f = self.spectra.spectrum(T, mue, f, energies[None, :] / gf_s[:, None])
+            Iv_0 = self.spectra.spectrum(T, mue, jnp.ones_like(f),
+                                         energies[None, :] / gf_s[:, None])
+            w = jnp.where(ok, gf_s ** 3 * dOmega, 0.0)
+            return (jnp.sum(Iv_f * w[:, None], 0), jnp.sum(Iv_0 * w[:, None], 0),
+                    jnp.sum(jnp.where(ok, 0.0, dOmega)), jnp.sum(dOmega))
+
+        spec_f = np.zeros(len(energies))
+        spec_0 = np.zeros(len(energies))
+        dom_err = 0.0
+        dom_tot = 0.0
+        for i in range(0, len(rx), batch):
+            sl = slice(i, i + batch)
+            sf, s0, de, dt = shard(jnp.asarray(alpha[sl]), jnp.asarray(beta[sl]),
+                                   jnp.asarray(dOmega[sl]))
+            spec_f += np.asarray(sf)
+            spec_0 += np.asarray(s0)
+            dom_err += float(de)
+            dom_tot += float(dt)
+        return spec_f, spec_0

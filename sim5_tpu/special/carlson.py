@@ -16,6 +16,7 @@ All functions broadcast over arbitrary batch shapes and are differentiable
 the derivative of the converged value).
 """
 
+import jax
 import jax.numpy as jnp
 
 _NDUP = 16   # duplication depth (see module docstring)
@@ -29,10 +30,14 @@ def rf(x, y, z):
     """
     xt, yt, zt = (jnp.asarray(v, jnp.float64) for v in (x, y, z))
     xt, yt, zt = jnp.broadcast_arrays(xt, yt, zt)
-    for _ in range(_NDUP):
+
+    def dup(_, s):
+        xt, yt, zt = s
         sx, sy, sz = jnp.sqrt(xt), jnp.sqrt(yt), jnp.sqrt(zt)
         lam = sx * (sy + sz) + sy * sz
-        xt, yt, zt = 0.25 * (xt + lam), 0.25 * (yt + lam), 0.25 * (zt + lam)
+        return 0.25 * (xt + lam), 0.25 * (yt + lam), 0.25 * (zt + lam)
+
+    xt, yt, zt = jax.lax.fori_loop(0, _NDUP, dup, (xt, yt, zt))
     ave = (xt + yt + zt) / 3.0
     dx = (ave - xt) / ave
     dy = (ave - yt) / ave
@@ -50,14 +55,16 @@ def rd(x, y, z):
     """
     xt, yt, zt = (jnp.asarray(v, jnp.float64) for v in (x, y, z))
     xt, yt, zt = jnp.broadcast_arrays(xt, yt, zt)
-    s = jnp.zeros_like(xt)
-    fac = jnp.ones_like(xt)
-    for _ in range(_NDUP):
+    def dup(_, st):
+        xt, yt, zt, s, fac = st
         sx, sy, sz = jnp.sqrt(xt), jnp.sqrt(yt), jnp.sqrt(zt)
         lam = sx * (sy + sz) + sy * sz
         s = s + fac / (sz * (zt + lam))
-        fac = 0.25 * fac
-        xt, yt, zt = 0.25 * (xt + lam), 0.25 * (yt + lam), 0.25 * (zt + lam)
+        return (0.25 * (xt + lam), 0.25 * (yt + lam), 0.25 * (zt + lam),
+                s, 0.25 * fac)
+
+    xt, yt, zt, s, fac = jax.lax.fori_loop(
+        0, _NDUP, dup, (xt, yt, zt, jnp.zeros_like(xt), jnp.ones_like(xt)))
     ave = 0.2 * (xt + yt + 3.0 * zt)
     dx = (ave - xt) / ave
     dy = (ave - yt) / ave
@@ -87,10 +94,12 @@ def rc(x, y):
     xt0 = jnp.where(neg, x - y, x)
     yt0 = jnp.where(neg, -y, jnp.where(y == 0.0, _TINY, y))
     w = jnp.where(neg, jnp.sqrt(x) / jnp.sqrt(xt0), 1.0)
-    xt, yt = xt0, yt0
-    for _ in range(_NDUP):
+    def dup(_, s):
+        xt, yt = s
         lam = 2.0 * jnp.sqrt(xt) * jnp.sqrt(yt) + yt
-        xt, yt = 0.25 * (xt + lam), 0.25 * (yt + lam)
+        return 0.25 * (xt + lam), 0.25 * (yt + lam)
+
+    xt, yt = jax.lax.fori_loop(0, _NDUP, dup, (xt0, yt0))
     ave = (xt + yt + yt) / 3.0
     sv = (yt - ave) / ave
     C1, C2, C3, C4 = 0.3, 1.0 / 7.0, 0.375, 9.0 / 22.0
@@ -126,17 +135,19 @@ def rj(x, y, z, p):
     zt = jnp.where(neg, zs, z)
     pt = jnp.where(neg, pt_neg, jnp.where(p == 0.0, _TINY, p))
 
-    s = jnp.zeros_like(xt)
-    fac = jnp.ones_like(xt)
-    for _ in range(_NDUP):
+    def dup(_, st):
+        xt, yt, zt, pt, s, fac = st
         sx, sy, sz = jnp.sqrt(xt), jnp.sqrt(yt), jnp.sqrt(zt)
         lam = sx * (sy + sz) + sy * sz
         alpha = (pt * (sx + sy + sz) + sx * sy * sz) ** 2
         beta = pt * (pt + lam) ** 2
         s = s + fac * rc(alpha, beta)
-        fac = 0.25 * fac
-        xt, yt, zt, pt = (0.25 * (xt + lam), 0.25 * (yt + lam),
-                          0.25 * (zt + lam), 0.25 * (pt + lam))
+        return (0.25 * (xt + lam), 0.25 * (yt + lam), 0.25 * (zt + lam),
+                0.25 * (pt + lam), s, 0.25 * fac)
+
+    xt, yt, zt, pt, s, fac = jax.lax.fori_loop(
+        0, _NDUP, dup,
+        (xt, yt, zt, pt, jnp.zeros_like(xt), jnp.ones_like(xt)))
     ave = 0.2 * (xt + yt + zt + pt + pt)
     dx = (ave - xt) / ave
     dy = (ave - yt) / ave

@@ -30,25 +30,26 @@ def jacobi_sncndn(u, m):
     m = jnp.where(m >= 1.0, 0.999999999, m)
     emc = 1.0 - m
 
-    # ascending AGM with convergence freeze
-    a = jnp.ones_like(u)
-    c_sel = jnp.full_like(u, 0.5 * (1.0 + jnp.sqrt(1.0)))  # overwritten at i=0
-    done = jnp.zeros(u.shape, bool)
-    l = jnp.zeros(u.shape, jnp.int32)
-    em_list = []
-    en_list = []
-    for i in range(_NAGM):
+    # ascending AGM with convergence freeze (scan keeps the jaxpr small)
+    import jax as _jax
+
+    def fwd(carry, i):
+        a, emc, done, l, c_sel = carry
         emc_s = jnp.sqrt(emc)
         c = 0.5 * (a + emc_s)
-        em_list.append(a)
-        en_list.append(emc_s)
         newly = jnp.abs(a - emc_s) <= _CA * a
         c_sel = jnp.where(done, c_sel, c)
         l = jnp.where(done, l, i)
         stop = done | newly
-        emc = jnp.where(stop, emc, emc_s * a)
-        a = jnp.where(stop, a, c)
-        done = stop
+        emc_n = jnp.where(stop, emc, emc_s * a)
+        a_n = jnp.where(stop, a, c)
+        return (a_n, emc_n, stop, l, c_sel), (a, emc_s)
+
+    a0 = jnp.ones_like(u)
+    carry0 = (a0, emc, jnp.zeros(u.shape, bool),
+              jnp.zeros(u.shape, jnp.int32), a0)
+    (a, emc, done, l, c_sel), (em_arr, en_arr) = _jax.lax.scan(
+        fwd, carry0, jnp.arange(_NAGM, dtype=jnp.int32))
 
     uu = u * c_sel
     sn = jnp.sin(uu)
@@ -58,18 +59,23 @@ def jacobi_sncndn(u, m):
     # descending Landen recurrence (masked to levels <= l)
     sn_zero = sn == 0.0
     sn_safe = jnp.where(sn_zero, 1.0, sn)
-    aa = cn / sn_safe
-    cc = c_sel * aa
-    for ii in range(_NAGM - 1, -1, -1):
+    aa0 = cn / sn_safe
+    cc0 = c_sel * aa0
+
+    def bwd(carry, xs):
+        aa, cc, dn = carry
+        b, en, ii = xs
         act = (ii <= l) & ~sn_zero
-        b = em_list[ii]
         aa_n = aa * cc
         cc_n = cc * dn
-        dn_n = (en_list[ii] + aa_n) / (b + aa_n)
+        dn_n = (en + aa_n) / (b + aa_n)
         aa2 = cc_n / b
-        aa = jnp.where(act, aa2, aa)
-        cc = jnp.where(act, cc_n, cc)
-        dn = jnp.where(act, dn_n, dn)
+        return (jnp.where(act, aa2, aa), jnp.where(act, cc_n, cc),
+                jnp.where(act, dn_n, dn)), None
+
+    (aa, cc, dn), _ = _jax.lax.scan(
+        bwd, (aa0, cc0, dn),
+        (em_arr, en_arr, jnp.arange(_NAGM, dtype=jnp.int32)), reverse=True)
     amp = 1.0 / jnp.sqrt(cc * cc + 1.0)
     sn_out = jnp.where(sn >= 0.0, amp, -amp)
     cn_out = cc * sn_out

@@ -1,0 +1,4 @@
+"""Resumable spectral tables and grid-generation drivers."""
+
+from .spectable import SpectralTable
+from .generate import generate_disk_table

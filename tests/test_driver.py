@@ -1,0 +1,109 @@
+"""Tests of the high-level disk raytracing driver (images & spectra)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sim5_tpu.disk import ThinDisk
+from sim5_tpu.render import (DiskRaytrace, DiskSpectrum_BlackBody,
+                             disk_tetrad, observed_gfactor, emission_angle,
+                             spectral_hardening)
+from sim5_tpu.core import gfactorK, photon_momentum, r_ms
+from sim5_tpu import geodesic as gd
+
+
+@pytest.fixture(scope="module")
+def rt():
+    disk = ThinDisk.create(10.0, 0.7, 0.1)
+    return DiskRaytrace(10.0, 0.7, 10.0, disk, DiskSpectrum_BlackBody())
+
+
+class TestLocalFrame:
+    def test_gfactor_matches_keplerian(self, rt):
+        """For a razor-thin Keplerian disk the tetrad-based g-factor must
+        reproduce the closed-form gfactorK (reference cross-check:
+        __gfactor vs __gfactor_keplerian, sim5diskraytrace.py:353-373)."""
+        a = rt.bh_spin
+        n = 32
+        rng = np.random.default_rng(5)
+        inc = np.radians(rng.uniform(20, 80, n))
+        alpha = rng.uniform(-15, 15, n)
+        beta = rng.uniform(1, 10, n)
+        g = gd.geodesic_init_inf(inc, a, alpha, beta)
+        P = gd.geodesic_find_midplane_crossing(g, 0)
+        r = np.asarray(gd.geodesic_position_rad(g, P))
+        ok = (np.asarray(g.status) == 0) & np.isfinite(r) & (r > float(r_ms(a)) + 0.1)
+        m = np.zeros(n)
+        k = photon_momentum(a, np.where(ok, r, 10.0), m, g.l, g.q,
+                            np.asarray(g.Rpc) - np.where(ok, np.asarray(P), 1.0),
+                            np.ones(n))
+        tet = disk_tetrad(a, jnp.asarray(np.where(ok, r, 10.0)), jnp.zeros(n), rt.disk)
+        gf = np.asarray(observed_gfactor(k, tet))
+        gfK = np.asarray(gfactorK(np.where(ok, r, 10.0), a, g.l))
+        np.testing.assert_allclose(gf[ok], gfK[ok], rtol=1e-8)
+
+    def test_emission_angle_range(self, rt):
+        a = rt.bh_spin
+        n = 16
+        rng = np.random.default_rng(6)
+        inc = np.radians(rng.uniform(20, 80, n))
+        alpha = rng.uniform(-10, 10, n)
+        beta = rng.uniform(1, 8, n)
+        g = gd.geodesic_init_inf(inc, a, alpha, beta)
+        P = gd.geodesic_find_midplane_crossing(g, 0)
+        r = np.asarray(gd.geodesic_position_rad(g, P))
+        ok = (np.asarray(g.status) == 0) & np.isfinite(r) & (r > float(r_ms(a)))
+        k = photon_momentum(a, np.where(ok, r, 10.0), np.zeros(n), g.l, g.q,
+                            np.asarray(g.Rpc) - np.where(ok, np.asarray(P), 1.0),
+                            np.ones(n))
+        tet = disk_tetrad(a, jnp.asarray(np.where(ok, r, 10.0)), jnp.zeros(n),
+                          rt.disk)
+        mue = np.asarray(emission_angle(k, tet))
+        assert (mue[ok] > 0.0).all() and (mue[ok] <= 1.0 + 1e-9).all()
+
+    def test_hardening_fit(self):
+        # You+15 regimes
+        assert np.isclose(float(spectral_hardening(5e3, 0.1)), 1.0)
+        f_mid = float(spectral_hardening(5e4, 0.1))
+        assert 1.0 < f_mid < 1.6
+        assert np.isclose(float(spectral_hardening(2e5, 0.1)), 1.6)
+
+
+class TestImage:
+    def test_image_maps(self, rt):
+        im = rt.image(60.0, 20.0, 32)
+        F = np.asarray(im["flux"])
+        g = np.asarray(im["gfactor"])
+        hit = np.isfinite(F)
+        assert hit.mean() > 0.2
+        assert (F[hit] > 0).all()
+        assert (g[hit] > 0.1).all() and (g[hit] < 2.0).all()
+        # H=0 for thin disk
+        assert np.allclose(np.asarray(im["H"])[hit], 0.0, atol=1e-10)
+
+
+class TestSpectrum:
+    def test_spectrum_shape_and_scaling(self, rt):
+        E = np.geomspace(0.1, 20.0, 32)
+        spec_f, spec_0 = rt.spectrum(60.0, E, radres=1.0, angres=20,
+                                     hardening=1.7)
+        assert spec_f.shape == (32,)
+        assert (spec_f >= 0).all() and spec_f.max() > 0
+        # spectrum peaks at a keV-ish energy for a 10 Msun disk and falls
+        # at both ends
+        pk = spec_f.argmax()
+        assert 0 < pk < 31
+        # hardened spectrum is harder: more flux at high E than unhardened
+        tail = slice(-6, None)
+        assert spec_f[tail].sum() > spec_0[tail].sum()
+
+    def test_spectrum_distance_scaling(self):
+        disk = ThinDisk.create(10.0, 0.7, 0.1)
+        E = np.geomspace(0.5, 10.0, 8)
+        s1, _ = DiskRaytrace(10.0, 0.7, 10.0, disk,
+                             DiskSpectrum_BlackBody()).spectrum(
+            60.0, E, radres=2.0, angres=10, hardening=1.7)
+        s2, _ = DiskRaytrace(10.0, 0.7, 20.0, disk,
+                             DiskSpectrum_BlackBody()).spectrum(
+            60.0, E, radres=2.0, angres=10, hardening=1.7)
+        np.testing.assert_allclose(s1 / s2, 4.0, rtol=1e-10)

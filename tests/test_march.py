@@ -1,0 +1,114 @@
+"""Tests of the stepwise marching engine: conserved-quantity gates (the
+reference's test_raytrace contract) and cross-engine consistency with the
+analytic geodesic engine (the reference's test_geodesic_init_src contract).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sim5_tpu import march
+from sim5_tpu.core import (kerr_metric, tetrad_zamo, on2bl, dotprod,
+                           photon_carter_const)
+
+
+def _random_rays(n, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.uniform(0.0, 0.999, n)
+    r = rng.uniform(4.0, 14.0, n)
+    minc = np.cos(np.radians(rng.uniform(5.0, 85.0, n)))
+    x = np.stack([np.zeros(n), r, minc, np.zeros(n)], -1)
+    m = kerr_metric(a, x[:, 1], x[:, 2])
+    t = tetrad_zamo(m)
+    th = rng.uniform(0, np.pi, n)
+    ph = rng.uniform(0, 2 * np.pi, n)
+    kloc = np.stack([np.ones(n), np.sin(th) * np.cos(ph),
+                     np.sin(th) * np.sin(ph), np.cos(th)], -1)
+    k = np.asarray(on2bl(kloc, t))
+    return a, x, k, m
+
+
+class TestConservation:
+    def test_carter_and_null_conservation(self):
+        # reference gates (sim5unittests.c:151-154): Carter drift < 1e-3
+        a, x, k, m0 = _random_rays(128)
+        kk0 = np.asarray(dotprod(k, k, m0))
+        assert np.max(np.abs(kk0)) < 1e-10
+        st = march.raytrace_prepare(a, x, k, precision=0.01)
+        st, active = march.raytrace(st, r_max=500.0, max_steps=20000)
+        r = np.asarray(st.x[:, 1])
+        done = (r >= 500.0) | (r <= 1.06 * (1 + np.sqrt(1 - a ** 2)))
+        assert done.mean() > 0.95, "rays did not finish"
+        err = np.asarray(march.raytrace_error(st))
+        escaped = r >= 500.0
+        assert np.median(err[escaped]) < 1e-4
+        assert (err[escaped] < 1e-3).mean() > 0.95
+
+    def test_energy_momentum_conservation(self):
+        a, x, k, _ = _random_rays(64, seed=3)
+        st = march.raytrace_prepare(a, x, k, precision=0.01)
+        st, _ = march.raytrace(st, r_max=200.0, max_steps=10000)
+        m = kerr_metric(st.a, st.x[:, 1], st.x[:, 2])
+        # E = -k_t and L = k_phi conserved
+        E1 = np.asarray(st.k[:, 0] * m.g00 + st.k[:, 3] * m.g03)
+        E0 = np.asarray(st.E)
+        escaped = np.asarray(st.x[:, 1]) > 100.0
+        np.testing.assert_allclose(E1[escaped], E0[escaped], rtol=1e-3)
+        # null norm preserved
+        kk = np.asarray(dotprod(st.k, st.k, m))
+        assert np.median(np.abs(kk[escaped])) < 1e-5
+
+
+class TestCrossEngine:
+    def test_marching_reproduces_analytic_inclination(self):
+        """Launch rays off the disk plane along analytic geodesics; the
+        marching engine must carry them to the analytic engine's
+        at-infinity inclination (reference: sim5unittests.c:218-235)."""
+        from sim5_tpu import geodesic as gd
+        n = 24
+        rng = np.random.default_rng(7)
+        a = rng.uniform(0.1, 0.95, n)
+        inc = np.radians(rng.uniform(30, 75, n))
+        alpha = rng.uniform(-8, 8, n)
+        beta = rng.uniform(2, 8, n)
+        g = gd.geodesic_init_inf(inc, a, alpha, beta)
+        ok = np.asarray(g.status) == 0
+        P = np.asarray(gd.geodesic_find_midplane_crossing(g, 0))
+        r = np.asarray(gd.geodesic_position_rad(g, P))
+        valid = ok & np.isfinite(P) & np.isfinite(r) & (r > 3.0)
+        # traverse the same geodesic backwards (disk -> observer): negate the
+        # 4-momentum (affine parameter reversal) -- except k[2], whose sign
+        # in geodesic_momentum follows the reference's dm/dP convention
+        # rather than dtheta/dlambda (see geodesic_momentum docstring)
+        k = np.asarray(gd.geodesic_momentum(g, P, r, np.zeros(n)))
+        k_out = np.stack([-k[:, 0], -k[:, 1], k[:, 2], -k[:, 3]], -1)
+        x = np.stack([np.zeros(n), r, np.zeros(n), np.zeros(n)], -1)
+        idx = np.where(valid)[0]
+        st = march.raytrace_prepare(a[idx], x[idx], k_out[idx], precision=0.003)
+        st, _ = march.raytrace(st, r_max=5e3, max_steps=40000)
+        rf_ = np.asarray(st.x[:, 1])
+        esc = rf_ >= 5e3
+        assert esc.mean() > 0.8
+        m_inf = np.asarray(st.x[:, 2])
+        cos_i = np.asarray(g.cos_i)[idx]
+        # at r=5e3 the poloidal coordinate is within ~1e-3 of its asymptote
+        assert np.median(np.abs(m_inf[esc] - cos_i[esc])) < 5e-3
+        assert (np.abs(m_inf[esc] - cos_i[esc]) < 3e-2).mean() > 0.9
+
+
+class TestFlat:
+    def test_flat_rays_are_straight(self):
+        # in Minkowski space rays keep their direction: r*sin(theta) along
+        # a radial ray stays constant etc.; simplest check: k stays constant
+        # in cartesian terms => energy exactly conserved, no deflection
+        n = 8
+        x = np.stack([np.zeros(n), np.full(n, 20.0),
+                      np.full(n, 0.3), np.zeros(n)], -1)
+        k = np.stack([np.ones(n), np.ones(n) * 0.99,
+                      np.zeros(n), np.zeros(n)], -1)
+        # normalize to null in flat metric: -k0^2 + k1^2 + r^2 k2^2 + ... = 0
+        k[:, 1] = 1.0
+        st = march.raytrace_prepare(0.0, x, k, precision=0.01,
+                                    options=march.RTOPT_FLAT)
+        st, _ = march.raytrace(st, r_max=1e3, max_steps=5000)
+        assert (np.asarray(st.x[:, 1]) >= 1e3).all()
+        np.testing.assert_allclose(np.asarray(st.x[:, 2]), 0.3, atol=1e-12)
