@@ -19,6 +19,8 @@ import numpy as np
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import sim5_tpu  # noqa: F401  (enables x64)
     from sim5_tpu.disk import nt_setup
@@ -38,12 +40,13 @@ def main():
     assert bool(jnp.isfinite(imf).all()), "render produced non-finite pixels"
     assert float(imf.max()) > 0.0, "render produced an empty image"
 
-    # timed runs (vary spin slightly to defeat any result caching)
-    n_rep = 5
+    # timed runs (vary spin slightly to defeat any result caching; block on
+    # every iteration so async dispatch cannot hide device time)
+    n_rep = 10
     t0 = time.perf_counter()
     for i in range(n_rep):
         imf, img = render(A - 1e-6 * i, INCL, MDOT)
-    imf.block_until_ready()
+        imf.block_until_ready()
     dt = time.perf_counter() - t0
 
     rays_per_sec = n_rep * NPIX * NPIX / dt

@@ -7,3 +7,5 @@ from .driver import (
     vertical_gravity, spectral_hardening, find_surface,
 )
 from .polarized import render_polarized_image, chandrasekhar_poldeg
+from .lightcurve import (equatorial_crossing_map, hotspot_lightcurve,
+                         volume_image, volume_lightcurve)

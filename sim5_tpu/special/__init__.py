@@ -28,3 +28,10 @@ from .integrals import (
     integral_T_m0, integral_T_m2, integral_T_mp,
 )
 from .polyroots import quadratic_roots, cubic_roots, quartic_roots, sort_quartic_roots
+from .interp import (Interp, interp_init, interp_eval,
+                     INTERP_TYPE_LINLIN, INTERP_TYPE_LOGLOG,
+                     INTERP_TYPE_LOGLIN, INTERP_TYPE_SPLINE,
+                     INTERP_OPT_ALLOW_EXTRAPOLATION)
+from .quadrature import integrate_trapezoid, integrate_simpson, gauleg, qgaus
+from .roots import rtbis
+from .distributions import Distrib, distrib_init, distrib_icdf, distrib_hit

@@ -75,7 +75,8 @@ def jacobi_sncndn(u, m):
 
     (aa, cc, dn), _ = _jax.lax.scan(
         bwd, (aa0, cc0, dn),
-        (em_arr, en_arr, jnp.arange(_NAGM, dtype=jnp.int32)), reverse=True)
+        (em_arr, en_arr, jnp.arange(_NAGM, dtype=jnp.int32)),
+        reverse=True)
     amp = 1.0 / jnp.sqrt(cc * cc + 1.0)
     sn_out = jnp.where(sn >= 0.0, amp, -amp)
     cn_out = cc * sn_out

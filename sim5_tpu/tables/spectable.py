@@ -72,19 +72,31 @@ class SpectralTable:
             raise IOError(f"{path}: CRC mismatch (corrupt table)")
         return cls(path, par, energies, spectra, manifest.get("meta"))
 
-    def save(self):
-        """Atomically persist the table with a CRC stamp (reference 'flush',
-        sim5fitstable.py:143-162)."""
+    def _serialize(self):
+        import io
         manifest = dict(
             param_names=[n for n, _ in self.params],
             crc32=zlib.crc32(np.ascontiguousarray(self.spectra).tobytes()),
             meta=self.meta,
         )
-        tmp = self.path + ".tmp.npz"
-        np.savez(tmp, manifest=json.dumps(manifest), spectra=self.spectra,
+        buf = io.BytesIO()
+        np.savez(buf, manifest=json.dumps(manifest), spectra=self.spectra,
                  energies=self.energies,
                  **{f"param_{n}": v for n, v in self.params})
+        return buf.getvalue()
+
+    def save(self):
+        """Atomically persist the table with a CRC stamp (reference 'flush',
+        sim5fitstable.py:143-162)."""
+        tmp = self.path + ".tmp.npz"
+        with open(tmp, "wb") as f:
+            f.write(self._serialize())
         os.replace(tmp, self.path)
+
+    def save_async(self, writer):
+        """Persist via the native async IO runtime (sim5_tpu.native.AsyncWriter)
+        so checkpointing overlaps with device compute."""
+        writer.submit(self.path, self._serialize())
 
     # -- grid access -----------------------------------------------------
 

@@ -1,0 +1,64 @@
+"""Small math helpers (reference: sim5math.h/.c macros and routines)."""
+
+import jax.numpy as jnp
+
+
+def sqr(x):
+    return x * x
+
+
+def sqr3(x):
+    return x * x * x
+
+
+def sqr4(x):
+    x2 = x * x
+    return x2 * x2
+
+
+def sign(x):
+    """sign(x) with sign(0) = +1 (reference macro semantics, sim5math.h:44)."""
+    return jnp.where(jnp.asarray(x) >= 0.0, 1.0, -1.0)
+
+
+def deg2rad(x):
+    return jnp.asarray(x) * (jnp.pi / 180.0)
+
+
+def rad2deg(x):
+    return jnp.asarray(x) * (180.0 / jnp.pi)
+
+
+def reduce_angle_pi(x):
+    """Reduce angle to [0, pi).  (sim5math.c:124-133)"""
+    return jnp.mod(x, jnp.pi)
+
+
+def reduce_angle_2pi(x):
+    """Reduce angle to [0, 2 pi).  (sim5math.c:136-145)"""
+    return jnp.mod(x, 2.0 * jnp.pi)
+
+
+def ensure_range(x, lo, hi, acc):
+    """Clamp x into [lo, hi] when within `acc` outside; NaN otherwise.
+
+    (reference: ensure_range, sim5math.c returns validity flag + clamps)
+    Returns (x_clamped, ok_mask).
+    """
+    x = jnp.asarray(x, jnp.float64)
+    ok = (x >= lo - acc) & (x <= hi + acc)
+    return jnp.clip(x, lo, hi), ok
+
+
+def cartesian_to_spherical(x, y, z):
+    """(x,y,z) -> (r, theta, phi).  (sim5math.c:150-163)"""
+    r = jnp.sqrt(x * x + y * y + z * z)
+    theta = jnp.arccos(jnp.clip(z / jnp.where(r > 0, r, 1.0), -1.0, 1.0))
+    phi = jnp.arctan2(y, x)
+    return r, theta, phi
+
+
+def spherical_to_cartesian(r, theta, phi):
+    """(r, theta, phi) -> (x,y,z).  (sim5math.c:166-176)"""
+    s = jnp.sin(theta)
+    return r * s * jnp.cos(phi), r * s * jnp.sin(phi), r * jnp.cos(theta)

@@ -1,0 +1,81 @@
+"""Tests for the L1 numerics layer: interpolation, quadrature, roots,
+distributions (vs the reference's test strategy: sim5unittests.c
+test__interpolation / test__gauss_distribution)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sim5_tpu import special as sp
+
+
+class TestInterp:
+    def test_spline_gaussian(self):
+        # reference test__interpolation (sim5unittests.c:271-297): spline
+        # interpolation of a Gaussian reproduces analytic values
+        x = np.linspace(-4, 4, 60)
+        y = np.exp(-x * x / 2)
+        tab = sp.interp_init(x, y, sp.INTERP_TYPE_SPLINE)
+        xq = np.linspace(-3.9, 3.9, 301)
+        got = np.asarray(sp.interp_eval(tab, xq))
+        want = np.exp(-xq * xq / 2)
+        assert np.max(np.abs(got - want)) < 2e-4
+
+    def test_linear_and_loglog(self):
+        x = np.geomspace(1, 100, 64)
+        y = x ** -2.5
+        lin = sp.interp_init(x, y, sp.INTERP_TYPE_LINLIN)
+        log = sp.interp_init(x, y, sp.INTERP_TYPE_LOGLOG)
+        xq = np.geomspace(1.5, 90, 50)
+        np.testing.assert_allclose(np.asarray(sp.interp_eval(log, xq)),
+                                   xq ** -2.5, rtol=1e-10)
+        # linear interp of a power law has bounded error on this grid
+        assert np.max(np.abs(np.asarray(sp.interp_eval(lin, xq))
+                             - xq ** -2.5) / xq ** -2.5) < 0.02
+
+    def test_extrapolation_policy(self):
+        x = np.linspace(0, 1, 10)
+        tab = sp.interp_init(x, x, sp.INTERP_TYPE_LINLIN)
+        assert np.isnan(float(sp.interp_eval(tab, 1.5)))
+        tab2 = sp.interp_init(x, x, sp.INTERP_TYPE_LINLIN,
+                              options=sp.INTERP_OPT_ALLOW_EXTRAPOLATION)
+        assert np.isclose(float(sp.interp_eval(tab2, 1.5)), 1.5)
+
+
+class TestQuadrature:
+    def test_simpson(self):
+        val = float(sp.integrate_simpson(jnp.sin, 0.0, jnp.pi, 512))
+        assert abs(val - 2.0) < 1e-10
+
+    def test_trapezoid(self):
+        val = float(sp.integrate_trapezoid(lambda x: x ** 2, 0.0, 1.0, 4096))
+        assert abs(val - 1.0 / 3.0) < 1e-7
+
+    def test_gauleg(self):
+        x, w = sp.gauleg(0.0, 2.0, 20)
+        assert abs(float(jnp.sum(w * x ** 5)) - 64.0 / 6.0) < 1e-10
+
+
+class TestRoots:
+    def test_rtbis(self):
+        root = float(sp.rtbis(lambda x: x ** 3 - 2.0, 0.0, 10.0))
+        assert abs(root - 2.0 ** (1 / 3)) < 1e-12
+
+    def test_rtbis_batched(self):
+        c = jnp.asarray([1.0, 8.0, 27.0])
+        roots = np.asarray(sp.rtbis(lambda x: x ** 3 - c,
+                                    jnp.zeros(3), jnp.full(3, 10.0)))
+        np.testing.assert_allclose(roots, [1.0, 2.0, 3.0], rtol=1e-12)
+
+
+class TestDistributions:
+    def test_gauss_sampling(self):
+        # reference test__gauss_distribution (sim5unittests.c:301-339):
+        # samples from an inverse-CDF table follow the PDF
+        d = sp.distrib_init(lambda x: jnp.exp(-x * x / 2), -6.0, 6.0)
+        key = jax.random.PRNGKey(0)
+        s = np.asarray(d.sample(key, (200000,)))
+        assert abs(s.mean()) < 0.02
+        assert abs(s.std() - 1.0) < 0.01
+        # icdf of median is ~0
+        assert abs(float(d.icdf(0.5))) < 1e-3
