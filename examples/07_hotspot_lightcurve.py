@@ -1,0 +1,26 @@
+"""Light curve of an orbiting hot spot (Doppler beaming + lensing + delays).
+
+Run: python examples/07_hotspot_lightcurve.py [spin] [incl_deg] [r_spot]
+"""
+
+import sys
+
+import numpy as np
+
+from sim5_tpu.core import OmegaK
+from sim5_tpu.render import hotspot_lightcurve
+
+a = float(sys.argv[1]) if len(sys.argv) > 1 else 0.5
+inc = float(sys.argv[2]) if len(sys.argv) > 2 else 70.0
+r_spot = float(sys.argv[3]) if len(sys.argv) > 3 else 7.0
+
+period = 2 * np.pi / float(OmegaK(r_spot, a))
+t = np.arange(96) / 96.0 * 2 * period
+lc = np.asarray(hotspot_lightcurve(a, np.radians(inc), r_spot, 0.7, t,
+                                   npix=192, n_orders=2))
+
+print(f"# orbital period: {period:.2f} GM/c^3", file=sys.stderr)
+print(f"# modulation: {lc.max()/lc.min():.2f}x", file=sys.stderr)
+print("# t[GM/c^3]  flux[arb]")
+for ti, fi in zip(t, lc):
+    print(f"{ti:.4e}  {fi:.6e}")

@@ -1,0 +1,25 @@
+"""Resumable spectral-table generation over a (spin, mdot, incl) grid.
+
+Run twice to see resume-from-checkpoint in action:
+    python examples/08_spectral_table.py table.npz
+"""
+
+import sys
+
+import numpy as np
+
+from sim5_tpu.tables import generate_disk_table
+
+path = sys.argv[1] if len(sys.argv) > 1 else "disk_table.npz"
+E = np.geomspace(0.1, 30.0, 64)
+table = generate_disk_table(
+    path,
+    spins=[0.0, 0.5, 0.9],
+    mdots=[0.05, 0.1, 0.3],
+    incls=[30.0, 60.0, 75.0],
+    energies=E,
+    radres=0.5, angres=20.0,
+    verbose=True,
+)
+done, total = table.progress
+print(f"table {path}: {done}/{total} rows computed", file=sys.stderr)

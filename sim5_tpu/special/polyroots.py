@@ -54,7 +54,7 @@ def cubic_roots(p, q, r):
     x3 = -2.0 * sq * jnp.cos((th - 2.0 * jnp.pi) / 3.0) - p / 3.0
     # one real root
     disc = jnp.where(three_real, 1.0, R * R - Q ** 3)
-    A = -jnp.sign(R) * (jnp.abs(R) + jnp.sqrt(disc)) ** (1.0 / 3.0)
+    A = -jnp.sign(R) * jnp.cbrt(jnp.abs(R) + jnp.sqrt(disc))
     A_safe = jnp.where(A == 0.0, 1.0, A)
     B = jnp.where(A == 0.0, 0.0, Q / A_safe)
     y1 = (A + B) - p / 3.0

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 from sim5_tpu import march
 from sim5_tpu.core import (kerr_metric, tetrad_zamo, on2bl, dotprod,
                            photon_carter_const)
+from sim5_tpu.core import bl2on as core_bl2on, on2bl as core_on2bl
+from sim5_tpu import march
 
 
 def _random_rays(n, seed=0):
@@ -112,3 +114,46 @@ class TestFlat:
         st, _ = march.raytrace(st, r_max=1e3, max_steps=5000)
         assert (np.asarray(st.x[:, 1]) >= 1e3).all()
         np.testing.assert_allclose(np.asarray(st.x[:, 2]), 0.3, atol=1e-12)
+
+
+class TestPolarizationTransport:
+    def test_wp_constant_conserved_along_march(self):
+        """Parallel-transport the polarization vector with RTOPT_POLARIZATION
+        and verify f.k=0, f norm and the Walker-Penrose constant are
+        conserved (reference gates: sim5unittests.c:139-155)."""
+        from sim5_tpu import polarization as pol
+        a, x, k, m0 = _random_rays(32, seed=11)
+        # build f orthogonal to k in the local ZAMO frame
+        t = tetrad_zamo(m0)
+        kloc = np.asarray(core_bl2on(k, t))
+        # local spatial direction perpendicular to kloc spatial part
+        ks = kloc[:, 1:]
+        ref = np.zeros_like(ks)
+        ref[:, 0] = -ks[:, 1]
+        ref[:, 1] = ks[:, 0]
+        deg = np.linalg.norm(ref, axis=1) < 1e-8
+        ref[deg] = [1.0, 0.0, 0.0]
+        ref /= np.linalg.norm(ref, axis=1, keepdims=True)
+        floc = np.concatenate([np.zeros((32, 1)), ref], 1)
+        f = np.asarray(core_on2bl(floc, t))
+        kf0 = np.asarray(dotprod(k, f, m0))
+        assert np.max(np.abs(kf0)) < 1e-10
+        wp1_0, wp2_0 = pol.polarization_constant(k, f, m0)
+
+        st = march.raytrace_prepare(a, x, k, f=f, precision=0.01,
+                                    options=march.RTOPT_POLARIZATION)
+        st, _ = march.raytrace(st, r_max=300.0, max_steps=20000)
+        mf = kerr_metric(st.a, st.x[:, 1], st.x[:, 2])
+        esc = np.asarray(st.x[:, 1]) >= 300.0
+        kf = np.asarray(dotprod(st.k, st.f, mf))
+        ff0 = np.asarray(dotprod(f, f, m0))
+        ff = np.asarray(dotprod(st.f, st.f, mf))
+        assert np.median(np.abs(kf[esc])) < 1e-6
+        np.testing.assert_allclose(ff[esc], ff0[esc], rtol=1e-3)
+        wp1, wp2 = pol.polarization_constant(st.k, st.f, mf)
+        wp1, wp2 = np.asarray(wp1), np.asarray(wp2)
+        wp1_0, wp2_0 = np.asarray(wp1_0), np.asarray(wp2_0)
+        mag = np.hypot(wp1_0, wp2_0) + 1e-12
+        drift = np.hypot(wp1 - wp1_0, wp2 - wp2_0) / mag
+        assert np.median(drift[esc]) < 1e-2
+        assert (drift[esc] < 0.1).mean() > 0.9
