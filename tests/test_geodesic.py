@@ -175,3 +175,39 @@ class TestPositions:
         rb = np.asarray(gd.geodesic_position_rad(gsub, P0))
         okr = ok0 & np.isfinite(rb)
         np.testing.assert_allclose(rb[okr], rs[okr], rtol=1e-8, atol=1e-9)
+
+
+class TestInitSrcRoundTrip:
+    def test_roundtrip_reproduces_observer(self):
+        """init_inf -> midplane crossing -> momentum -> init_src must
+        reproduce the motion constants, theta roots and observer
+        inclination (reference gate ~1e-5: sim5unittests.c:239-246)."""
+        import numpy as np
+        n = 128
+        rng = np.random.default_rng(17)
+        a = rng.uniform(0.1, 0.95, n)
+        inc = np.radians(rng.uniform(25, 80, n))
+        alpha = rng.uniform(-12, 12, n)
+        beta = rng.uniform(0.5, 10, n) * np.sign(rng.uniform(-1, 1, n))
+        g = gd.geodesic_init_inf(inc, a, alpha, beta)
+        P = np.asarray(gd.geodesic_find_midplane_crossing(g, 0))
+        r = np.asarray(gd.geodesic_position_rad(g, P))
+        ok = (np.asarray(g.status) == 0) & np.isfinite(P) & np.isfinite(r)
+        ppc = (P > np.asarray(g.Rpc)) & ok
+        r_s = np.where(ok, r, 10.0)
+        m_s = np.zeros(n)
+        k = np.asarray(gd.geodesic_momentum(g, np.where(ok, P, 1.0), r_s, m_s))
+        ok = ok & np.isfinite(k).all(1)
+        g2 = gd.geodesic_init_src(a, r_s, m_s, np.where(ok[:, None], k, 1.0),
+                                  ppc.astype(int))
+        ok = ok & (np.asarray(g2.status) == 0)
+        assert ok.mean() > 0.5
+        for field in ("l", "q", "m2p", "m2m", "mK"):
+            v1 = np.asarray(getattr(g, field))[ok]
+            v2 = np.asarray(getattr(g2, field))[ok]
+            np.testing.assert_allclose(v2, v1, rtol=1e-6, atol=1e-8,
+                                       err_msg=field)
+        ci1 = np.asarray(g.cos_i)[ok]
+        ci2 = np.asarray(g2.cos_i)[ok]
+        match = np.isclose(ci2, ci1, atol=1e-5)
+        assert match.mean() > 0.95, f"cos_i roundtrip {match.mean():.3f}"
