@@ -107,3 +107,45 @@ class TestSpectrum:
                              DiskSpectrum_BlackBody()).spectrum(
             60.0, E, radres=2.0, angres=10, hardening=1.7)
         np.testing.assert_allclose(s1 / s2, 4.0, rtol=1e-10)
+
+
+class TestGoldenDriver:
+    """End-to-end goldens generated from the reference's Python layer
+    (SWIG build of sim5lib + sim5diskraytrace; see tools/golden_dump.c
+    provenance notes)."""
+
+    def test_image_matches_reference_python_layer(self):
+        from tests.conftest import GOLDEN
+        ref = np.load(GOLDEN / "driver_image_a07.npy")
+        disk = ThinDisk.create(10.0, 0.7, 0.1, 0.1)
+        rt2 = DiskRaytrace(10.0, 0.7, 10.0, disk, DiskSpectrum_BlackBody())
+        im = rt2.image(60.0, 20.0, 32, limbdk=1)
+        keys = ("flux", "gfactor", "mue", "T", "R", "H", "V")
+        for i, k in enumerate(keys):
+            got = np.asarray(im[k])
+            want = ref[i]
+            hit_g, hit_w = np.isfinite(got), np.isfinite(want)
+            assert (hit_g == hit_w).mean() > 0.99, f"{k}: hit footprint"
+            both = hit_g & hit_w
+            if k == "mue":
+                tol = dict(rtol=1e-3, atol=1e-3)
+            else:
+                tol = dict(rtol=1e-4, atol=1e-12)
+            ok = np.isclose(got[both], want[both], **tol)
+            assert ok.mean() > 0.99, (
+                f"{k}: {(~ok).sum()} mismatches, max rel "
+                f"{np.max(np.abs(got[both]-want[both])/(np.abs(want[both])+1e-30)):.2e}")
+
+    def test_spectrum_matches_reference_python_layer(self):
+        from tests.conftest import GOLDEN
+        ref = np.load(GOLDEN / "driver_spectrum_a07.npy")
+        E, sf_ref, s0_ref = ref
+        disk = ThinDisk.create(10.0, 0.7, 0.1, 0.1)
+        rt2 = DiskRaytrace(10.0, 0.7, 10.0, disk, DiskSpectrum_BlackBody())
+        sf, s0 = rt2.spectrum(60.0, E, limbdk=1, flat=1, radres=2.0,
+                              angres=10.0, hardening=1.7)
+        # same polar grid, same physics; tolerate small per-ray
+        # differences at the hit/miss boundary of the grid
+        nz = sf_ref > 1e-3 * sf_ref.max()
+        np.testing.assert_allclose(sf[nz], sf_ref[nz], rtol=3e-2)
+        np.testing.assert_allclose(s0[nz], s0_ref[nz], rtol=3e-2)
