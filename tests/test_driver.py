@@ -149,3 +149,73 @@ class TestGoldenDriver:
         nz = sf_ref > 1e-3 * sf_ref.max()
         np.testing.assert_allclose(sf[nz], sf_ref[nz], rtol=3e-2)
         np.testing.assert_allclose(s0[nz], s0_ref[nz], rtol=3e-2)
+
+
+class TestThickDisk:
+    """Surface intersection for a non-razor-thin disk (the reference's
+    __find_surface path, sim5diskraytrace.py:257-336)."""
+
+    class ConeDisk:
+        """Toy thick disk: photosphere at H = s*R with inner edge."""
+        slope = 0.05
+
+        def r_min(self):
+            return 6.0
+
+        def mdot(self):
+            return jnp.asarray(0.1)
+
+        def lumi(self):
+            return jnp.asarray(0.1)
+
+        def flux(self, r):
+            return jnp.where(r > 6.0, 1.0 / jnp.maximum(r, 1.0) ** 3, 0.0)
+
+        def t_eff(self, r):
+            return jnp.where(r > 6.0, 1e7 / jnp.maximum(r, 1.0) ** 0.75, 0.0)
+
+        def sigma(self, r):
+            return jnp.ones_like(r)
+
+        def ell(self, r):
+            from sim5_tpu.core import ellK
+            return ellK(jnp.maximum(r, 6.0), 0.5)
+
+        def vr(self, r):
+            return jnp.zeros_like(r)
+
+        def h(self, r):
+            return self.slope * r
+
+        def dhdr(self, r):
+            return jnp.full_like(r, self.slope)
+
+    def test_find_surface_lands_on_surface(self):
+        from sim5_tpu.render import find_surface
+        disk = self.ConeDisk()
+        n = 24
+        rng = np.random.default_rng(3)
+        inc = np.radians(55.0)
+        alpha = rng.uniform(-25, 25, n)
+        beta = rng.uniform(2, 20, n)
+        g = gd.geodesic_init_inf(inc, 0.5, alpha, beta)
+        P, r, m, ok = find_surface(g, disk)
+        P, r, m, ok = map(np.asarray, (P, r, m, ok))
+        assert ok.mean() > 0.5, "most sightlines should hit the cone"
+        R = r[ok] * np.sqrt(1 - m[ok] ** 2)
+        H = r[ok] * m[ok]
+        Hd = disk.slope * R
+        # the march stops within `accuracy` of the photosphere
+        assert np.median(np.abs(H - Hd)) < 0.05
+        assert (np.abs(H - Hd) < 0.3).mean() > 0.9
+
+    def test_thick_disk_image_runs(self):
+        disk = self.ConeDisk()
+        rt2 = DiskRaytrace(10.0, 0.5, 10.0, disk, DiskSpectrum_BlackBody())
+        im = rt2.image(55.0, 25.0, 24)
+        F = np.asarray(im["flux"])
+        H = np.asarray(im["H"])
+        hit = np.isfinite(F)
+        assert hit.mean() > 0.2
+        # surface height is nonzero for the thick disk (off-midplane hits)
+        assert np.nanmax(np.abs(H)) > 0.1

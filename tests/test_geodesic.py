@@ -211,3 +211,28 @@ class TestInitSrcRoundTrip:
         ci2 = np.asarray(g2.cos_i)[ok]
         match = np.isclose(ci2, ci1, atol=1e-5)
         assert match.mean() > 0.95, f"cos_i roundtrip {match.mean():.3f}"
+
+
+class TestTimedelay:
+    def test_timedelay_golden(self):
+        """Travel time between two positions vs the C reference."""
+        import pathlib
+        rows = []
+        with open(pathlib.Path(__file__).parent / "golden" / "timedelay.txt") as f:
+            for line in f:
+                parts = line.split()
+                if parts and parts[0] == "td":
+                    rows.append([float(v) for v in parts[1:]])
+        d = np.asarray(rows)
+        # columns: a inc alpha beta P1 r1 m1 P2 r2 dt
+        g = gd.geodesic_init_inf(d[:, 1], d[:, 0], d[:, 2], d[:, 3])
+        dt = np.asarray(gd.geodesic_timedelay(g, d[:, 4], d[:, 5], d[:, 6],
+                                              d[:, 7], d[:, 8],
+                                              np.zeros(len(d))))
+        ref = d[:, 9]
+        both = np.isfinite(ref) & np.isfinite(dt)
+        assert (np.isfinite(ref) == np.isfinite(dt)).mean() > 0.95
+        ok = np.isclose(dt[both], ref[both], rtol=1e-5, atol=1e-7)
+        assert ok.mean() > 0.95, (
+            f"{(~ok).sum()}/{ok.size} timedelay mismatches; "
+            f"max rel {np.max(np.abs(dt[both]-ref[both])/(np.abs(ref[both])+1e-30)):.2e}")
