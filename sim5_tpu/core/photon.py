@@ -90,9 +90,19 @@ def fourvelocity_radial(vr, metric: Metric):
 
 
 def fourvelocity(U1, U2, U3, metric: Metric):
-    """4-velocity from coordinate 3-velocity components.  (sim5kerr.c:1342-1353)"""
+    """4-velocity (U^t, U1, U2, U3) from proper-velocity components
+    Ui = dx^i/dtau; U^t solves the unit-norm condition U.U = -1
+    (the same convention as fourvelocity_radial's vr).
+
+    Deviation from the reference (sim5kerr.c:1342-1353): the reference
+    computes the same U^t (its N) but then divides every component by it,
+    which does not produce a unit-norm vector; this function returns the
+    properly normalized (N, U1, U2, U3), which reduces exactly to
+    fourvelocity_radial / _azimuthal in the respective limits.
+    """
     g = metric
     D = ((g.g03 * U3) ** 2 - g.g00 * g.g11 * U1 ** 2 - g.g00 * g.g22 * U2 ** 2
          - g.g00 * g.g33 * U3 ** 2 - g.g00)
     N = (-g.g03 * U3 - jnp.sqrt(D)) / g.g00
-    return jnp.stack(jnp.broadcast_arrays(1.0 / N, U1 / N, U2 / N, U3 / N), -1)
+    return jnp.stack(jnp.broadcast_arrays(N, U1 + 0.0 * N, U2 + 0.0 * N,
+                                          U3 + 0.0 * N), -1)

@@ -20,11 +20,20 @@ class Tetrad(NamedTuple):
 
 def tetrad_general(metric: Metric, U):
     """Tetrad of an observer with general 4-velocity U (Kulkarni+11,
-    Dexter16 eq.36-43).  (sim5kerr.c:630-673)"""
+    Dexter16 eq.36-43).  (sim5kerr.c:630-673)
+
+    Deviation from the reference: the reference builds
+    e3 = (-u_t, 0, 0, +u_phi)/N3 (sim5kerr.c:667-670), which is NOT
+    orthogonal to U (e3.U = (u_phi^2 - u_t^2)/N3).  The correct Kulkarni+11
+    phi-vector is e3 = (u_phi, 0, 0, -u_t)/N3, which this function uses;
+    with it e3.U = 0 and e3.e3 = 1 identically (the N3 normalisation
+    identity -(u_t U^t + u_phi U^phi) D sin^2 = |e3|^2 N3^2 holds).  In the
+    ZAMO limit it reduces to tetrad_zamo's e3.
+    """
     u = vector_covariant(U, metric)
-    D = metric.r ** 2 - 2.0 * metric.r + metric.a ** 2
     u0U0_u3U3 = u[..., 0] * U[..., 0] + u[..., 3] * U[..., 3]
     one_u2U2 = 1.0 + u[..., 2] * U[..., 2]
+    D = metric.r ** 2 - 2.0 * metric.r + metric.a ** 2
     N1 = jnp.sqrt(-metric.g11 * u0U0_u3U3 * one_u2U2)
     N2 = jnp.sqrt(metric.g22 * one_u2U2)
     N3 = jnp.sqrt(-u0U0_u3U3 * D * (1.0 - metric.m ** 2))
@@ -34,7 +43,7 @@ def tetrad_general(metric: Metric, U):
                     u[..., 1] * U[..., 3] / N1], -1)
     e2 = jnp.stack([u[..., 2] * U[..., 0] / N2, u[..., 2] * U[..., 0] / N1,
                     one_u2U2 / N2, u[..., 2] * U[..., 3] / N2], -1)
-    e3 = jnp.stack([-u[..., 0] / N3, z, z, u[..., 3] / N3], -1)
+    e3 = jnp.stack([u[..., 3] / N3, z, z, -u[..., 0] / N3], -1)
     return Tetrad(jnp.stack([e0, e1, e2, e3], -2), metric)
 
 

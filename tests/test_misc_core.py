@@ -1,0 +1,107 @@
+"""Property tests for remaining core pieces: general/radial tetrads,
+4-velocities, blackbody radiation, Planck sampling."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sim5_tpu import core, radiation, consts
+
+
+def _metrics(n, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.uniform(0, 0.99, n)
+    r = rng.uniform(3.0, 30.0, n)
+    m = rng.uniform(-0.8, 0.8, n)
+    return core.kerr_metric(a, r, m)
+
+
+def _check_orthonormal(t, g, atol=1e-9):
+    eta = np.asarray([[np.asarray(core.dotprod(t.e[..., i, :], t.e[..., j, :], g))
+                       for j in range(4)] for i in range(4)])
+    want = np.diag([-1.0, 1.0, 1.0, 1.0])
+    for i in range(4):
+        for j in range(4):
+            np.testing.assert_allclose(eta[i, j], want[i, j], atol=atol)
+
+
+class TestTetrads:
+    def test_radial_orthonormal(self):
+        # note: the reference's radial tetrad takes e3 ~ d/dphi, which is
+        # only orthogonal to the moving e0 when g03 = 0 (its construction,
+        # sim5kerr.c:715-761, matched by golden tests); the exact-property
+        # check therefore uses a Schwarzschild metric
+        rng = np.random.default_rng(0)
+        g = core.kerr_metric(np.zeros(16), rng.uniform(3, 30, 16),
+                             rng.uniform(-0.8, 0.8, 16))
+        t = core.tetrad_radial(g, 0.3)
+        _check_orthonormal(t, g)
+
+    def test_radial_zero_velocity_is_zamo(self):
+        g = _metrics(8, seed=2)
+        t0 = core.tetrad_radial(g, 0.0)
+        tz = core.tetrad_zamo(g)
+        np.testing.assert_allclose(np.asarray(t0.e), np.asarray(tz.e),
+                                   rtol=1e-12)
+
+    def test_general_matches_azimuthal(self):
+        # tetrad_general with a purely azimuthal U spans the same frame as
+        # tetrad_azimuthal (e0 identical; others orthonormal)
+        g = _metrics(16, seed=3)
+        Om = 0.3 * core.OmegaK(g.r, g.a)
+        U = core.fourvelocity_azimuthal(Om, g)
+        tg = core.tetrad_general(g, U)
+        np.testing.assert_allclose(np.asarray(tg.e[..., 0, :]), np.asarray(U),
+                                   rtol=1e-12)
+        _check_orthonormal(tg, g, atol=1e-8)
+
+
+class TestFourVelocities:
+    def test_unit_norm(self):
+        g = _metrics(32, seed=4)
+        for U in (core.fourvelocity_zamo(g),
+                  core.fourvelocity_azimuthal(0.2 * core.OmegaK(g.r, g.a), g),
+                  core.fourvelocity_radial(0.2, g),
+                  core.fourvelocity(0.05, 0.0, 0.01, g)):
+            uu = np.asarray(core.dotprod(U, U, g))
+            np.testing.assert_allclose(uu, -1.0, atol=1e-10)
+
+
+class TestRadiation:
+    def test_planck_formula(self):
+        # blackbody_Iv equals the Planck law in the reference's units
+        T, E = 1e7, 3.0
+        got = float(radiation.blackbody_Iv(T, 1.0, -1.0, E))
+        freq = consts.kev2freq * E
+        want = (2 * consts.planck_h * freq ** 3 / consts.speed_of_light ** 2
+                / np.expm1(consts.planck_h * freq / (consts.boltzmann_k * T))
+                / consts.freq2kev)
+        assert np.isclose(got, want, rtol=1e-12)
+
+    def test_limb_darkening_and_hardening(self):
+        T, E = 1e7, 3.0
+        iso = float(radiation.blackbody_Iv(T, 1.0, -1.0, E))
+        face_on = float(radiation.blackbody_Iv(T, 1.0, 1.0, E))
+        assert np.isclose(face_on / iso, 1.25, rtol=1e-12)  # 0.5+0.75
+        # hardening conserves bolometric flux: integral Iv dE invariant
+        E_grid = np.geomspace(0.01, 200.0, 4096)
+        for f in (1.0, 1.7):
+            I = np.asarray(radiation.blackbody_Iv(T, f, -1.0, E_grid))
+            tot = np.trapezoid(I, E_grid)
+            if f == 1.0:
+                tot0 = tot
+        assert np.isclose(tot, tot0, rtol=1e-3)
+
+    def test_photons_total_stefan_like(self):
+        # total photon rate scales as T^3
+        r1 = float(radiation.blackbody_photons_total(1e7, 1.0))
+        r2 = float(radiation.blackbody_photons_total(2e7, 1.0))
+        assert np.isclose(r2 / r1, 8.0, rtol=1e-12)
+
+    def test_planck_photon_sampler(self):
+        # sampled mean energy ~ 2.70 k T (photon-number-weighted Planck)
+        T = 1e7
+        key = jax.random.PRNGKey(1)
+        E = np.asarray(radiation.blackbody_photon_energy_random(key, T, (200000,)))
+        kT_kev = consts.boltzmann_k * T * consts.erg2kev
+        assert np.isclose(E.mean() / kT_kev, 2.701, rtol=0.02)
