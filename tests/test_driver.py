@@ -219,3 +219,36 @@ class TestThickDisk:
         assert hit.mean() > 0.2
         # surface height is nonzero for the thick disk (off-midplane hits)
         assert np.nanmax(np.abs(H)) > 0.1
+
+
+class TestLineProfile:
+    def test_broad_line_shape(self):
+        from sim5_tpu.render import line_profile
+        g, prof = line_profile(0.9, np.radians(45.0), npix=128,
+                               r_in=None, r_out=50.0)
+        g, prof = np.asarray(g), np.asarray(prof)
+        assert np.isfinite(prof).all() and prof.max() > 0
+        nz = prof > 0
+        # relativistically broadened: flux both redward and blueward of g=1
+        assert g[nz].min() < 0.7 and g[nz].max() > 1.05
+
+        # classic double-horned annulus profile with Doppler-boosted blue horn
+        g2, prof2 = line_profile(0.9, np.radians(45.0), npix=128,
+                                 r_in=10.0, r_out=14.0)
+        g2, prof2 = np.asarray(g2), np.asarray(prof2)
+        nz2 = prof2 > 0.01 * prof2.max()
+        blue = prof2[g2 > 1.0].max()
+        red = prof2[(g2 < 1.0) & nz2].max() if ((g2 < 1.0) & nz2).any() else 0.0
+        assert blue > red
+
+    def test_transfer_function_consistency(self):
+        from sim5_tpu.render import transfer_function, disk_g_map
+        r_edges = np.geomspace(3.0, 50.0, 9)
+        T = np.asarray(transfer_function(0.5, np.radians(60.0), r_edges,
+                                         npix=128))
+        assert T.shape == (8, 64)
+        assert (T >= 0).all() and T.sum() > 0
+        # total solid angle equals direct pixel count x area
+        r, gf, hit, dA = disk_g_map(0.5, np.radians(60.0), 128, None,
+                                    3.0, 50.0)
+        assert np.isclose(T.sum(), float(np.asarray(hit).sum()) * dA, rtol=1e-10)
