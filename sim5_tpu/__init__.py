@@ -48,8 +48,9 @@ def fast_precision():
     Inside `with sim5_tpu.fast_precision():` every pipeline runs f32 --
     on TPU this is ~10-20x faster than the (emulated) f64 default.
     Measured accuracy of the 512^2 Kerr a=0.998 disk image vs the f64
-    path: identical hit footprint, <=1.2e-5 of peak flux (see bench.py,
-    which verifies this gate on every run).  Use the default f64 mode
-    when the full <=1e-6 parity with the C reference is required.
+    path: identical hit footprint; <=1.2e-5 of peak flux in IEEE f32 (CPU),
+    <=1.2e-3 on TPU (approximate f32 transcendentals) -- bench.py verifies
+    the gate on every run.  Use the default f64 mode when the full <=1e-6
+    parity with the C reference is required.
     """
     return _jax.enable_x64(False)

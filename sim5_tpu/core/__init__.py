@@ -15,14 +15,15 @@ from .metric import (
 )
 from .tetrads import (
     Tetrad, tetrad_general, tetrad_zamo, tetrad_radial,
-    tetrad_azimuthal, tetrad_surface, bl2on, on2bl,
+    tetrad_azimuthal, tetrad_surface, tetrad_valid, bl2on, on2bl,
 )
 from .orbits import (
     r_bh, r_ms, r_mb, r_ph, OmegaK, ellK, omega_r, omega_z,
     Omega_from_ell, ell_from_Omega, gfactorK,
 )
 from .photon import (
-    photon_momentum, photon_motion_constants, photon_carter_const,
+    photon_momentum, photon_momentum_checked,
+    photon_motion_constants, photon_carter_const,
     fourvelocity_zamo, fourvelocity_azimuthal, fourvelocity_radial,
     fourvelocity,
 )

@@ -341,10 +341,18 @@ def vector_3norm(V):
 def vector_norm_to(V, norm, metric: Metric = None):
     """Scale V so that V.V == norm (norm>0 space-like, norm<0 time-like).
 
-    (sim5kerr.c:552-572)
+    Deviation from the reference (sim5kerr.c:552-572): lanes where
+    norm/V.V <= 0 (wrong causal character) return V UNSCALED instead of
+    NaN -- NaN primals irrecoverably poison reverse-mode gradients of
+    every co-batched lane, so validity must be checked explicitly (e.g.
+    `tetrad_valid`); the reference's NaN would appear wherever such a
+    vector is used anyway.
     """
     N = dotprod(V, V, metric)
-    return V * jnp.sqrt(norm / N)[..., None]
+    ratio = norm / N
+    good = ratio > 0.0
+    fac = jnp.sqrt(jnp.where(good, ratio, 1.0))
+    return V * jnp.where(good, fac, 1.0)[..., None]
 
 
 def vector_norm_to_null(V, V0, metric: Metric = None):

@@ -8,6 +8,32 @@ import jax.numpy as jnp
 from .metric import Metric
 
 
+def photon_momentum_checked(a, r, m, l, q, r_sign, m_sign):
+    """Like photon_momentum, but returns (k, valid) with NO NaN in k --
+    invalid rays get a finite placeholder and valid=False.  Use this in
+    differentiable pipelines: NaN primals (even fully masked ones)
+    irrecoverably poison reverse-mode gradients of co-batched lanes.
+    """
+    a2 = a * a
+    l2 = l * l
+    r2 = r * r
+    m2 = m * m
+    S = r2 + a2 * m2
+    D = r2 - 2.0 * r + a2
+    R = (r2 + a2 - a * l) ** 2 - D * ((l - a) ** 2 + q)
+    M = q - l2 * m2 / (1.0 - m2) + a2 * m2
+    R = jnp.where((R < 0.0) & (R > -1e-8), 0.0, R)
+    M = jnp.where((M < 0.0) & (M > -1e-8), 0.0, M)
+    valid = (R >= 0.0) & (M >= 0.0)
+    sqrtR = jnp.where(R > 0.0, jnp.sqrt(jnp.where(R > 0.0, R, 1.0)), 0.0)
+    sqrtM = jnp.where(M > 0.0, jnp.sqrt(jnp.where(M > 0.0, M, 1.0)), 0.0)
+    k0 = (-a * (a * (1.0 - m2) - l) + (r2 + a2) / D * (r2 + a2 - a * l)) / S
+    k1 = sqrtR / S * jnp.sign(r_sign + 0.5)
+    k2 = sqrtM / S * jnp.sign(m_sign + 0.5)
+    k3 = (-a + l / (1.0 - m2) + a / D * (r2 + a2 - a * l)) / S
+    return jnp.stack(jnp.broadcast_arrays(k0, k1, k2, k3), -1), valid
+
+
 def photon_momentum(a, r, m, l, q, r_sign, m_sign):
     """Photon 4-momentum k^mu with k.k=0 from motion constants (l, q).
 
@@ -22,16 +48,20 @@ def photon_momentum(a, r, m, l, q, r_sign, m_sign):
     D = r2 - 2.0 * r + a2
     R = (r2 + a2 - a * l) ** 2 - D * ((l - a) ** 2 + q)
     M = q - l2 * m2 / (1.0 - m2) + a2 * m2
-    # snap small negatives (reference: 1e-8 tolerance), NaN-poison real negatives
+    # snap small negatives (reference: 1e-8 tolerance); genuinely negative
+    # potentials make the ray invalid -> NaN components.  sqrt() is taken on
+    # sanitized positive values so that masked lanes cannot NaN-poison
+    # reverse-mode gradients (sqrt'(0)=inf, sqrt(NaN)).
     R = jnp.where((R < 0.0) & (R > -1e-8), 0.0, R)
     M = jnp.where((M < 0.0) & (M > -1e-8), 0.0, M)
     bad = (R < 0.0) | (M < 0.0)
-    R = jnp.where(bad, jnp.nan, R)
-    M = jnp.where(bad, jnp.nan, M)
-    k0 = (-a * (a * (1.0 - m2) - l) + (r2 + a2) / D * (r2 + a2 - a * l)) / S
-    k1 = jnp.sqrt(R) / S * jnp.sign(r_sign + 0.5)
-    k2 = jnp.sqrt(M) / S * jnp.sign(m_sign + 0.5)
-    k3 = (-a + l / (1.0 - m2) + a / D * (r2 + a2 - a * l)) / S
+    sqrtR = jnp.where(R > 0.0, jnp.sqrt(jnp.where(R > 0.0, R, 1.0)), 0.0)
+    sqrtM = jnp.where(M > 0.0, jnp.sqrt(jnp.where(M > 0.0, M, 1.0)), 0.0)
+    nanv = jnp.where(bad, jnp.nan, 0.0)
+    k0 = (-a * (a * (1.0 - m2) - l) + (r2 + a2) / D * (r2 + a2 - a * l)) / S + nanv
+    k1 = sqrtR / S * jnp.sign(r_sign + 0.5) + nanv
+    k2 = sqrtM / S * jnp.sign(m_sign + 0.5) + nanv
+    k3 = (-a + l / (1.0 - m2) + a / D * (r2 + a2 - a * l)) / S + nanv
     return jnp.stack(jnp.broadcast_arrays(k0, k1, k2, k3), -1)
 
 

@@ -115,11 +115,14 @@ def tetrad_surface(metric: Metric, Omega, V, dhdr):
     # zero-radial-velocity surface tangent S0 in the [r,theta] plane
     S0r = 1.0 / jnp.sqrt(g.g11 + g.g22 * dhdr ** 2)
     S0h = S0r * dhdr
-    # Sadowski+2011 Eq. A.10
+    # Sadowski+2011 Eq. A.10; sqrt evaluated on a guarded argument so the
+    # V=0 case (thin disks) cannot produce inf*0 NaN gradients
     ur = V / jnp.sqrt(1.0 - V * V) / jnp.sqrt(g.g11)
-    v = jnp.sign(V) * jnp.sqrt(
-        ((ur / S0r) ** 2 * (-g.g00 - 2.0 * Omega * g.g03 - Omega ** 2 * g.g33))
-        / (1.0 + (ur / S0r) ** 2))
+    varg = (((ur / S0r) ** 2
+             * (-g.g00 - 2.0 * Omega * g.g03 - Omega ** 2 * g.g33))
+            / (1.0 + (ur / S0r) ** 2))
+    v = jnp.sign(V) * jnp.where(
+        varg > 0.0, jnp.sqrt(jnp.where(varg > 0.0, varg, 1.0)), 0.0)
     # observer 4-velocity U ~ eta + Omega xi + v S0 (Eq. A.5)
     e0 = vector_norm_to(jnp.stack([one, v * S0r, v * S0h,
                                    jnp.broadcast_to(Omega, one.shape)], -1),
@@ -158,3 +161,13 @@ def on2bl(Vin, tetrad: Tetrad):
     (sim5kerr.c:948-970)
     """
     return jnp.einsum('...a,...am->...m', Vin, tetrad.e)
+
+
+def tetrad_valid(t: Tetrad, tol=1e-8):
+    """Validity mask for a tetrad: e0 is unit-timelike and all components
+    finite.  Use with `vector_norm_to`'s finite-fallback semantics (see its
+    docstring): an observer whose 4-velocity cannot be normalized (e.g.
+    superluminal Omega inside the ergosphere) fails this check."""
+    from .metric import dotprod
+    u2 = dotprod(t.e[..., 0, :], t.e[..., 0, :], t.metric)
+    return jnp.isfinite(t.e).all((-1, -2)) & (jnp.abs(u2 + 1.0) < tol)

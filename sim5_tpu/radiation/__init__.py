@@ -21,10 +21,13 @@ def blackbody_Iv(T, hardf, cos_mu, E):
     limbf = jnp.where(cos_mu >= 0.0, 0.5 + 0.75 * cos_mu, 1.0)
     freq = consts.kev2freq * E
     Tsafe = jnp.where(T > 0.0, T, 1.0)
+    # clamp the Planck exponent: beyond ~350 the intensity underflows to 0
+    # anyway, while expm1's gradient (exp(u)/expm1(u)^2) overflows to
+    # inf/inf = NaN and would poison reverse-mode through masked lanes
+    u = jnp.minimum((consts.planck_h * freq)
+                    / (consts.boltzmann_k * hardf * Tsafe), 350.0)
     val = (limbf * 2.0 * consts.planck_h * freq ** 3 / consts.speed_of_light ** 2
-           / hardf ** 4
-           / jnp.expm1((consts.planck_h * freq) / (consts.boltzmann_k * hardf * Tsafe))
-           * (1.0 / consts.freq2kev))
+           / hardf ** 4 / jnp.expm1(u) * (1.0 / consts.freq2kev))
     return jnp.where(T > 0.0, val, 0.0)
 
 

@@ -38,7 +38,12 @@ def disk_tetrad(a, r, m, disk: DiskModel):
     """
     R = r * jnp.sqrt(1.0 - m * m)
     metric = kerr_metric(a, r, m)
+    # Omega_from_ell has a pole where g33 + ell*g03 = 0 (deep ergosphere);
+    # such lanes are outside every disk's validity domain -- clamp them to
+    # a finite value so they cannot NaN-poison batched gradients (their
+    # tetrad is discarded via tetrad_valid / flux masks downstream)
     Omega = Omega_from_ell(disk.ell(R), metric)
+    Omega = jnp.where(jnp.isfinite(Omega) & (jnp.abs(Omega) < 1e3), Omega, 0.0)
     dhdr = jnp.where(m > 0.0, disk.dhdr(R), 0.0)
     return tetrad_surface(metric, Omega, disk.vr(R), dhdr)
 

@@ -141,22 +141,43 @@ def jacobi_icn(z, m):
 
     az = jnp.abs(z)
     az_c = jnp.minimum(az, 1.0)
-    icn1 = jnp.sqrt(1.0 - az_c * az_c) * rf(az_c * az_c,
-                                            1.0 - m * (1.0 - az_c * az_c),
-                                            jnp.ones_like(az_c))
+    # evaluate the generic branch away from |z| in {0, 1}: those points are
+    # handled by dedicated branches below, and sqrt(1-z^2)/RF have infinite
+    # derivatives there that would NaN-poison reverse-mode gradients of the
+    # masked-out lanes
+    az_g = jnp.where((az_c >= 1.0 - 1e-15) | (az_c == 0.0), 0.5, az_c)
+    icn1 = jnp.sqrt(1.0 - az_g * az_g) * rf(az_g * az_g,
+                                            1.0 - m * (1.0 - az_g * az_g),
+                                            jnp.ones_like(az_g))
+    icn1 = jnp.where(az_c >= 1.0 - 1e-15, 0.0,
+                     jnp.where(az_c == 0.0, _elliptic_k_raw(m), icn1))
     # z<0: icn(z) = 2/sqrt(1-m) F_sin(-z | m/(m-1)) + icn(|z|)
     m_safe = jnp.where(m >= 1.0, 1.0 - 1e-12, m)
-    neg_term = 2.0 / jnp.sqrt(1.0 - m_safe) * _elliptic_f_sin_raw(
-        az_c, m_safe / (m_safe - 1.0 - jnp.where(m_safe == 1.0, 1e-300, 0.0)))
+    mp = m_safe / (m_safe - 1.0 - jnp.where(m_safe == 1.0, 1e-300, 0.0))
+    # F_sin at sin=1 has an infinite derivative through its argument; those
+    # lanes take the exact complete-integral limit with a constant zero
+    # first RF argument (no gradient path)
+    f_gen = _elliptic_f_sin_raw(az_g, mp)
+    f_lim = rf(jnp.zeros_like(mp), 1.0 - mp, jnp.ones_like(mp))
+    neg_term = 2.0 / jnp.sqrt(1.0 - m_safe) * jnp.where(
+        az_c >= 1.0 - 1e-15, f_lim, f_gen)
     gen = jnp.where(z > 0.0, icn1, neg_term + icn1)
 
     m0 = m == 0.0
     m1 = m == 1.0
-    z_s = jnp.where(az_c == 0.0, 1e-300, az_c)
-    m1val = jnp.log((1.0 + jnp.sqrt(1.0 - az_c)) / z_s)
+    # all special-branch formulas are evaluated at gradient-safe arguments
+    # (their |z|~1 limits have infinite slopes that would NaN reverse-mode
+    # cotangents of the other branches)
+    z_s = jnp.where((az_c == 0.0) | (az_c >= 1.0 - 1e-15), 0.5, az_c)
+    m1val = jnp.where(az_c >= 1.0 - 1e-15, 0.0,
+                      jnp.log((1.0 + jnp.sqrt(1.0 - z_s)) / z_s))
+    acos_arg = jnp.where(jnp.abs(z) >= 1.0 - 1e-15, 0.0, jnp.clip(z, -1.0, 1.0))
+    m0val = jnp.where(z >= 1.0 - 1e-15, 0.0,
+                      jnp.where(z <= -1.0 + 1e-15, jnp.pi,
+                                jnp.arccos(acos_arg)))
     out = jnp.where(z == 0.0, _elliptic_k_raw(m),
                     jnp.where(z == 1.0, 0.0,
-                              jnp.where(m0, jnp.arccos(jnp.clip(z, -1.0, 1.0)),
+                              jnp.where(m0, m0val,
                                         jnp.where(m1, m1val, gen))))
     return out
 
