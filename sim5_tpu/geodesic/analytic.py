@@ -20,13 +20,13 @@ integral P (Bursa 2017, eq. 34/43), increasing from 0 at infinity.
 import jax.numpy as jnp
 
 from ..special import (
-    elliptic_k, jacobi_sncndn, jacobi_isn, jacobi_icn, jacobi_itn,
+    elliptic_k, jacobi_sncndn, jacobi_isn, jacobi_icn, jacobi_itn, icn_signed,
     quartic_roots, sort_quartic_roots,
     integral_R_rp_re, integral_R_rp_re_inf,
     integral_R_rp_cc2_inf, integral_R_rp_cc2,
     integral_R_r0_re, integral_R_r1_re, integral_R_r2_re,
     integral_R_r0_cc, integral_R_r1_cc, integral_R_r2_cc,
-    integral_T_mp,
+    integral_T_mp, rf,
 )
 from ..core import photon_momentum, photon_motion_constants, r_bh
 from .types import (
@@ -115,7 +115,7 @@ def _R_roots(a, l, q, r0):
     A_rc = jnp.sqrt((t1 - tu) ** 2 + tv ** 2)
     B_rc = jnp.sqrt((t2 - tu) ** 2 + tv ** 2)
     mm_rc = ((A_rc + B_rc) ** 2 - (t1 - t2) ** 2) / (4.0 * A_rc * B_rc)
-    Rpc_rc = jacobi_icn((A_rc - B_rc) / (A_rc + B_rc), mm_rc) / jnp.sqrt(A_rc * B_rc)
+    Rpc_rc = icn_signed((A_rc - B_rc) / (A_rc + B_rc), mm_rc) / jnp.sqrt(A_rc * B_rc)
 
     # --- CC branch: two complex pairs b1 +- ia1, b2 +- ia2
     b1 = jnp.where(is0, rr[..., 0], 0.0)
@@ -213,8 +213,33 @@ def geodesic_init_inf(i, a, alpha, beta):
                  m2p, m2m, mm, mK, rp, Rpc,
                  jnp.zeros_like(a_eff), jnp.zeros_like(a_eff),
                  jnp.asarray(status, jnp.int32))
-    Tpp = 2.0 * _theta_int(g, jnp.zeros_like(a_eff))
-    Tip = _theta_int(g, cos_i)
+    # Tpp = 2 mK icn(0, mm) = 2 mK K(mm) -- evaluate the complete integral
+    # directly (icn's masked negative/m0/m1 branches would cost 3 extra RF
+    # evaluations per pixel for nothing)
+    Tpp = 2.0 * mK * rf(jnp.zeros_like(mm), 1.0 - mm, jnp.ones_like(mm))
+    # Tip = mK * icn(cos_i/sqrt(m2p), mm), but 1 - u^2 suffers catastrophic
+    # cancellation as beta -> 0 (the observer sits at the theta turning
+    # point, u -> 1).  The theta potential at the observer is identically
+    # T(cos_i) = beta^2 sin^2 i  (substitute l = -alpha sin i and
+    # q = beta^2 + cos^2 i (alpha^2 - a^2) into
+    # T(m) = q + (a^2-l^2-q) m^2 - a^2 m^4), and since
+    # T(m) = a^2 (m2m + m^2)(m2p - m^2) this gives the exact
+    #   1 - u^2 = (m2p - cos_i^2)/m2p = beta^2 sin^2 i / (a^2 (m2m+cos_i^2) m2p),
+    # which feeds icn's generic branch sqrt(1-u^2) RF(u^2, 1-mm(1-u^2), 1)
+    # (sim5elliptic.c:492-514) with no cancellation.  The reference instead
+    # needs a long-double guard here (sim5kerr-geod.c:1125-1131).
+    # The identity denominator m2m + cos_i^2 is itself a cancellation when
+    # the observer sits near the LOWER turning point (vortical q<0 rays with
+    # beta ~ 0), so use it only where the direct difference is ill-conditioned
+    # (u -> 1); elsewhere the direct form is exact to rounding.
+    denom = a_eff ** 2 * (m2m + cos_i ** 2) * m2p
+    eps_ident = (beta * jnp.sin(i)) ** 2 / jnp.where(denom > 0.0, denom, 1.0)
+    eps_ident = jnp.where(denom > 0.0, eps_ident, 0.5)
+    eps_direct = (m2p - cos_i ** 2) / m2p
+    eps = jnp.where(eps_direct > 1e-6, eps_direct, eps_ident)
+    eps = jnp.clip(eps, 1e-300, 1.0)
+    Tip = mK * jnp.sqrt(eps) * rf(1.0 - eps, 1.0 - mm * eps,
+                                  jnp.ones_like(eps))
     return g._replace(Tpp=Tpp, Tip=Tip)
 
 
@@ -307,7 +332,7 @@ def geodesic_P_int(g: Geodesic, r, ppc):
     mm_rc = ((A + B) ** 2 - (t1 - t2) ** 2) / (4.0 * A * B)
     rs_rc = jnp.where(is_rc, r, 10.0)
     z_rc = ((A - B) * rs_rc + t1 * B - t2 * A) / ((A + B) * rs_rc - t1 * B - t2 * A)
-    R_rc = jacobi_icn(z_rc, mm_rc) / jnp.sqrt(A * B)
+    R_rc = icn_signed(z_rc, mm_rc) / jnp.sqrt(A * B)
 
     # CC
     b1 = jnp.where(is_cc, g.rr[..., 0], 0.0)
@@ -357,8 +382,6 @@ def geodesic_position_rad(g: Geodesic, P):
     r4 = jnp.where(is_rr, g.rr[..., 3], 2.0)
     m4 = ((r2 - r3) * (r1 - r4)) / ((r2 - r4) * (r1 - r3))
     x4 = 0.5 * jnp.abs(Ps - g.Rpc) * jnp.sqrt((r1 - r3) * (r2 - r4))
-    sn2 = jacobi_sncndn(x4, m4)[0] ** 2
-    r_rr = (r1 * (r2 - r4) - r2 * (r1 - r4) * sn2) / (r2 - r4 - (r1 - r4) * sn2)
 
     t1 = jnp.where(is_rc, g.rr[..., 0], 6.0)
     t2 = jnp.where(is_rc, g.rr[..., 1], 2.0)
@@ -369,7 +392,14 @@ def geodesic_position_rad(g: Geodesic, P):
     m2 = ((A + B) ** 2 - (t1 - t2) ** 2) / (4.0 * A * B)
     # RC valid domain is 0 < P < Rpc only (no turning point)
     Ps_rc = jnp.where(P_valid & (P < g.Rpc), Ps, 0.5 * g.Rpc)
-    cn = jacobi_sncndn(jnp.sqrt(A * B) * (g.Rpc - Ps_rc), m2)[1]
+
+    # one AGM evaluation serves both branches (RR takes sn, RC takes cn):
+    # the per-type arguments are mask-selected before the call
+    u_j = jnp.where(is_rr, x4, jnp.sqrt(A * B) * (g.Rpc - Ps_rc))
+    m_j = jnp.where(is_rr, m4, m2)
+    sn_j, cn, _dn = jacobi_sncndn(u_j, m_j)
+    sn2 = sn_j ** 2
+    r_rr = (r1 * (r2 - r4) - r2 * (r1 - r4) * sn2) / (r2 - r4 - (r1 - r4) * sn2)
     r_rc = (t2 * A - t1 * B - (t2 * A + t1 * B) * cn) / ((A - B) - (A + B) * cn)
     r_rc = jnp.where(P > g.Rpc, jnp.nan, r_rc)   # RC has no turning point
 
@@ -549,12 +579,13 @@ def geodesic_find_midplane_crossing(g: Geodesic, order=0):
     order_f = jnp.asarray(order, jnp.float64)
     u = g.cos_i / jnp.sqrt(g.m2p)
     u_ok = jnp.abs(u) <= 1.0 + 1e-4
-    u = jnp.clip(u, -1.0, 1.0)
-    K = elliptic_k(g.mm)
-    icn = jacobi_icn(u, g.mm)
-    pos = g.mK * ((2.0 * order_f + 1.0) * K
-                  + jnp.where(g.beta > 0.0, icn,
-                              jnp.where(g.beta < 0.0, -icn, 0.0)))
+    # the reference re-evaluates elliptic_k + jacobi_icn here
+    # (sim5kerr-geod.c:876-880), but both are already cached on the pytree:
+    # mK*K(mm) = Tpp/2 and mK*icn(cos_i/sqrt(m2p), mm) = Tip (computed
+    # cancellation-free at init) -- the crossing is pure arithmetic.
+    pos = ((2.0 * order_f + 1.0) * 0.5 * g.Tpp
+           + jnp.where(g.beta > 0.0, g.Tip,
+                       jnp.where(g.beta < 0.0, -g.Tip, 0.0)))
     pos = jnp.where(pos > 2.0 * g.Rpc, jnp.nan, pos)
     pos = jnp.where((g.q <= 0.0) | ~u_ok | (g.status != GD_OK), jnp.nan, pos)
     return pos

@@ -16,7 +16,7 @@ from .legendre import (
 )
 from .jacobi import (
     jacobi_sncndn, jacobi_sn, jacobi_cn, jacobi_dn,
-    jacobi_isn, jacobi_icn, jacobi_itn,
+    jacobi_isn, jacobi_icn, jacobi_itn, icn_signed,
 )
 from .integrals import (
     integral_C0, integral_C1, integral_C2, integral_C2_cos,

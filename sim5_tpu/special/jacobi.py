@@ -16,6 +16,11 @@ _NAGM = 13      # AGM depth (matches reference array size; converges ~quadratica
 _CA = 1.0e-8    # AGM convergence tolerance (reference sim5elliptic.c:544)
 
 
+def _nagm():
+    """AGM depth for the active precision (unrolled; see carlson._ndup)."""
+    return _NAGM if jnp.zeros((), jnp.float64).dtype == jnp.float64 else 8
+
+
 def jacobi_sncndn(u, m):
     """Jacobi elliptic functions (sn, cn, dn)(u | m) for 0 <= m < 1.
 
@@ -30,26 +35,27 @@ def jacobi_sncndn(u, m):
     m = jnp.where(m >= 1.0, 0.999999999, m)
     emc = 1.0 - m
 
-    # ascending AGM with convergence freeze (scan keeps the jaxpr small)
-    import jax as _jax
-
-    def fwd(carry, i):
-        a, emc, done, l, c_sel = carry
+    # ascending AGM with convergence freeze -- UNROLLED so the whole chain
+    # fuses into one VPU kernel (a lax.scan would stack the per-level arrays
+    # through HBM every iteration)
+    depth = _nagm()
+    a = a0 = jnp.ones_like(u)
+    done = jnp.zeros(u.shape, bool)
+    l = jnp.zeros(u.shape, jnp.int32)
+    c_sel = a0
+    em_list, en_list = [], []
+    for i in range(depth):
         emc_s = jnp.sqrt(emc)
         c = 0.5 * (a + emc_s)
         newly = jnp.abs(a - emc_s) <= _CA * a
         c_sel = jnp.where(done, c_sel, c)
         l = jnp.where(done, l, i)
         stop = done | newly
-        emc_n = jnp.where(stop, emc, emc_s * a)
-        a_n = jnp.where(stop, a, c)
-        return (a_n, emc_n, stop, l, c_sel), (a, emc_s)
-
-    a0 = jnp.ones_like(u)
-    carry0 = (a0, emc, jnp.zeros(u.shape, bool),
-              jnp.zeros(u.shape, jnp.int32), a0)
-    (a, emc, done, l, c_sel), (em_arr, en_arr) = _jax.lax.scan(
-        fwd, carry0, jnp.arange(_NAGM, dtype=jnp.int32))
+        em_list.append(a)
+        en_list.append(emc_s)
+        emc = jnp.where(stop, emc, emc_s * a)
+        a = jnp.where(stop, a, c)
+        done = stop
 
     uu = u * c_sel
     sn = jnp.sin(uu)
@@ -62,21 +68,17 @@ def jacobi_sncndn(u, m):
     aa0 = cn / sn_safe
     cc0 = c_sel * aa0
 
-    def bwd(carry, xs):
-        aa, cc, dn = carry
-        b, en, ii = xs
+    aa, cc = aa0, cc0
+    for ii in range(depth - 1, -1, -1):
+        b, en = em_list[ii], en_list[ii]
         act = (ii <= l) & ~sn_zero
         aa_n = aa * cc
         cc_n = cc * dn
         dn_n = (en + aa_n) / (b + aa_n)
         aa2 = cc_n / b
-        return (jnp.where(act, aa2, aa), jnp.where(act, cc_n, cc),
-                jnp.where(act, dn_n, dn)), None
-
-    (aa, cc, dn), _ = _jax.lax.scan(
-        bwd, (aa0, cc0, dn),
-        (em_arr, en_arr, jnp.arange(_NAGM, dtype=jnp.int32)),
-        reverse=True)
+        aa = jnp.where(act, aa2, aa)
+        cc = jnp.where(act, cc_n, cc)
+        dn = jnp.where(act, dn_n, dn)
     amp = 1.0 / jnp.sqrt(cc * cc + 1.0)
     sn_out = jnp.where(sn >= 0.0, amp, -amp)
     cn_out = cc * sn_out
@@ -180,6 +182,33 @@ def jacobi_icn(z, m):
                               jnp.where(m0, m0val,
                                         jnp.where(m1, m1val, gen))))
     return out
+
+
+def icn_signed(z, m):
+    """Inverse Jacobi cn restricted to -1 < z < 1 and 0 < m < 1 -- the
+    generic branches of `jacobi_icn` only (2 RF evaluations instead of 4).
+
+    Hot-path specialization: callers (the radial-potential RC-branch
+    integrals, where z = (A-B)/(A+B) is strictly inside (-1,1) and the
+    modulus is strictly inside (0,1)) never hit the z in {0, +-1} / m in
+    {0, 1} special branches, whose masked evaluation costs two extra
+    Carlson-RF passes per pixel in `jacobi_icn`.
+    """
+    z = jnp.asarray(z, jnp.float64)
+    m = jnp.asarray(m, jnp.float64)
+    z, m = jnp.broadcast_arrays(z, m)
+    # dtype-aware domain guard: in f32 fast mode 1-1e-12 would round to
+    # exactly 1.0 and reintroduce the 0/0 the clip exists to prevent
+    feps = 8.0 * jnp.finfo(z.dtype).eps
+    az = jnp.clip(jnp.abs(z), feps, 1.0 - feps)
+    icn1 = jnp.sqrt(1.0 - az * az) * rf(az * az,
+                                        1.0 - m * (1.0 - az * az),
+                                        jnp.ones_like(az))
+    # z<0: icn(z) = 2/sqrt(1-m) F_sin(-z | m/(m-1)) + icn(|z|)
+    m_safe = jnp.clip(m, 0.0, 1.0 - feps)
+    mp = m_safe / (m_safe - 1.0)
+    neg_term = 2.0 / jnp.sqrt(1.0 - m_safe) * _elliptic_f_sin_raw(az, mp)
+    return jnp.where(z >= 0.0, icn1, neg_term + icn1)
 
 
 def jacobi_itn(z, m):
