@@ -9,7 +9,7 @@ from .metric import (
     kerr_metric, kerr_metric_contravariant,
     kerr_newman_metric, kerr_newman_metric_contravariant,
     flat_connection, kerr_connection, kerr_newman_connection,
-    Gamma, geodesic_accel,
+    Gamma, geodesic_accel, kerr_transport_accel, flat_transport_accel,
     vector, vector_covariant, dotprod, vector_norm, vector_3norm,
     vector_norm_to, vector_norm_to_null,
 )

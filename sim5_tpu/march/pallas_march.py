@@ -1,0 +1,325 @@
+"""Pallas TPU kernel for the stepwise ray-march engine.
+
+The `lax.while_loop` form of the integrator (raytrace.py) round-trips the
+full ray-state carry through HBM on every step and re-launches the step
+computation ~10^3 times per ray batch.  This kernel instead keeps the whole
+state of a block of rays resident in VMEM/registers for the entire
+integration: one `pallas_call` marches every ray to termination, with the
+Kerr connection contracted inline from its nonzero components in the step
+body (the north-star design of SURVEY.md section 3.2: a batched adaptive
+RK4 kernel, metric+connection evaluation fused into the step).
+
+Layout: rays are tiled as (rows, 128) f32 lanes (structure-of-arrays, one
+2D tile per state component), grid over row-blocks of 8 (the f32 VPU tile).
+The kernel is f32-only (Mosaic has no f64); the f64 path stays on the
+`lax.while_loop` engine, which this kernel matches step-for-step -- both
+use the same adaptive-dl rule, RK4 update and error gates, so the f32
+kernel is validated against the f64 engine by the Carter-drift contract
+(tests/test_march.py) and directly against the JAX f32 engine in
+tests/test_pallas_march.py.
+
+reference: sim5raytrace.c:44-343 (raytrace_prepare/raytrace/raytrace_error).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.metric import _kerr_conn_entries, _flat_conn_entries
+
+_TINY = 1e-30
+_BLOCK_ROWS = 8      # f32 sublane tile
+_LANES = 128
+
+
+def _accel_components(opt_gr, a, r, m, U, V):
+    """-Gamma^i_jk U^j V^k with U, V as length-4 lists of lane arrays.
+
+    Contracts the <=20 nonzero Christoffel components inline -- no dense
+    (4,4,4) tensor ever exists, so the whole step stays in registers.
+    """
+    entries, _ = (_kerr_conn_entries(a, r, m) if opt_gr
+                  else _flat_conn_entries(r, m))
+    out = [None, None, None, None]
+    for (i, j, k), g in entries.items():
+        term = (g * (U[j] * V[k] + U[k] * V[j]) if j != k
+                else g * (U[j] * V[k]))
+        out[i] = term if out[i] is None else out[i] + term
+    zero = jnp.zeros_like(U[0])
+    return [zero if o is None else -o for o in out]
+
+
+def _metric_coeffs(opt_gr, a, r, m):
+    """(g00, g11, g22, g33, g03) of the (t, r, theta, phi) BL/spherical
+    metric, parametrized by m = cos(theta)  (sim5kerr.c:31-107)."""
+    if not opt_gr:
+        s2 = 1.0 - m * m
+        one = jnp.ones_like(r)
+        return -one, one, r * r, r * r * s2, jnp.zeros_like(r)
+    r2 = r * r
+    a2 = a * a
+    m2 = m * m
+    s2 = 1.0 - m2
+    S = r2 + a2 * m2
+    D = r2 - 2.0 * r + a2
+    A = (r2 + a2) ** 2 - a2 * D * s2
+    g00 = -(1.0 - 2.0 * r / S)
+    g11 = S / D
+    g22 = S
+    g33 = A / S * s2
+    g03 = -2.0 * a * r * s2 / S
+    return g00, g11, g22, g33, g03
+
+
+def _make_kernel(opt_gr, opt_pol, max_steps, max_step_dl,
+                 emissivity_fn=None):
+    def kernel(scal_ref, x_ref, k_ref, f_ref, kt_ref, act0_ref,
+               xo_ref, ko_ref, fo_ref, kto_ref, erro_ref, stepso_ref,
+               acto_ref, *io_ref):
+        a = scal_ref[0]
+        eps = scal_ref[1]
+        r_min = scal_ref[2]
+        r_max = scal_ref[3]
+        error_stop = scal_ref[4]
+
+        x = [x_ref[i] for i in range(4)]          # t, r, m=cos th, phi
+        k = [k_ref[i] for i in range(4)]
+        f = [f_ref[i] for i in range(4)]
+        kt = kt_ref[0]
+        # derive the loop-carry inits from loaded data, not constant splats:
+        # Mosaic gives splats a replicated register layout, which then
+        # mismatches the body's output layout on the while back-edge
+        err = kt * 0.0
+        steps = kt * 0.0
+        # the mask is carried as f32 (0/1): Mosaic cannot yield i1 vectors
+        # through scf.while carries
+        active = jnp.where(jnp.isfinite(kt) & (act0_ref[0] > 0.5),
+                           kt * 0.0 + 1.0, kt * 0.0)
+
+        def accel(xth, kv, fv):
+            rr, mm = xth[1], jnp.cos(xth[2])
+            dk = _accel_components(opt_gr, a, rr, mm, kv, kv)
+            df = (_accel_components(opt_gr, a, rr, mm, kv, fv)
+                  if opt_pol else fv)
+            return dk, df
+
+        def body(carry):
+            x, k, f, kt, err, steps, act_f, I, it = carry
+            active = act_f > 0.5
+            # x[2] is THETA inside the kernel (converted once by the host
+            # wrapper) -- Pallas TPU has no acos lowering, and carrying theta
+            # avoids the per-step acos/cos round-trip anyway.
+            r, m = x[1], jnp.cos(x[2])
+            # adaptive step: dl = eps / sum_i |dk_i|/|k_i|  (sim5raytrace.c:164)
+            dk0 = _accel_components(opt_gr, a, r, m, k, k)
+            curv = sum(jnp.abs(dk0[i]) / (jnp.abs(k[i]) + _TINY)
+                       for i in range(4)) + _TINY
+            dl = jnp.minimum(jnp.float32(max_step_dl), eps / curv)
+            dl = jnp.maximum(dl, 1e-3)
+            dl = jnp.where(active, dl, 0.0)
+
+            # RK4 in (t, r, theta, phi)
+            xth = x
+            k1 = k
+            dk1, df1 = accel(xth, k1, f)
+            h = 0.5 * dl
+            x2_ = [xth[i] + k1[i] * h for i in range(4)]
+            k2 = [k[i] + dk1[i] * h for i in range(4)]
+            f2 = [f[i] + df1[i] * h for i in range(4)] if opt_pol else f
+            dk2, df2 = accel(x2_, k2, f2)
+            x3_ = [xth[i] + k2[i] * h for i in range(4)]
+            k3 = [k[i] + dk2[i] * h for i in range(4)]
+            f3 = [f[i] + df2[i] * h for i in range(4)] if opt_pol else f
+            dk3, df3 = accel(x3_, k3, f3)
+            x4_ = [xth[i] + k3[i] * dl for i in range(4)]
+            k4 = [k[i] + dk3[i] * dl for i in range(4)]
+            f4 = [f[i] + df3[i] * dl for i in range(4)] if opt_pol else f
+            dk4, df4 = accel(x4_, k4, f4)
+
+            d6 = dl / 6.0
+            xn = [xth[i] + d6 * (k1[i] + 2.0 * (k2[i] + k3[i]) + k4[i])
+                  for i in range(4)]
+            kn = [k[i] + d6 * (dk1[i] + 2.0 * (dk2[i] + dk3[i]) + dk4[i])
+                  for i in range(4)]
+            fn = ([f[i] + d6 * (df1[i] + 2.0 * (df2[i] + df3[i]) + df4[i])
+                   for i in range(4)] if opt_pol else f)
+
+            # error: k_t drift + |k.k|  (sim5raytrace.c:217-219)
+            g00, g11, g22, g33, g03 = _metric_coeffs(opt_gr, a, xn[1],
+                                                     jnp.cos(xn[2]))
+            kt_new = kn[0] * g00 + kn[3] * g03
+            kk = jnp.abs(g00 * kn[0] * kn[0] + g11 * kn[1] * kn[1]
+                         + g22 * kn[2] * kn[2] + g33 * kn[3] * kn[3]
+                         + 2.0 * g03 * kn[0] * kn[3])
+            e_new = jnp.maximum(
+                jnp.abs(kt_new - kt) / (jnp.abs(kt) + _TINY), kk)
+
+            x = [jnp.where(active, xn[i], x[i]) for i in range(4)]
+            k = [jnp.where(active, kn[i], k[i]) for i in range(4)]
+            if opt_pol:
+                f = [jnp.where(active, fn[i], f[i]) for i in range(4)]
+            kt = jnp.where(active, kt_new, kt)
+            err = jnp.where(active, e_new, err)
+            steps = steps + act_f
+
+            if emissivity_fn is not None:
+                # optically-thin radiative transfer fused into the step
+                # body (north star): I += j(x) dl at the post-step position
+                j = emissivity_fn(x[0], x[1], jnp.cos(x[2]), x[3])
+                I = I + jnp.where(active, j * dl, 0.0)
+
+            rr = x[1]
+            active = (active & (rr > r_min) & (rr < r_max)
+                      & (err < error_stop) & jnp.isfinite(rr))
+            return x, k, f, kt, err, steps, \
+                jnp.where(active, act_f * 0.0 + 1.0, act_f * 0.0), I, it + 1
+
+        def cond(carry):
+            *_, act_f, I, it = carry
+            return (jnp.max(act_f) > 0.5) & (it < max_steps)
+
+        I0 = kt * 0.0
+        x, k, f, kt, err, steps, active, I, _ = jax.lax.while_loop(
+            cond, body, (x, k, f, kt, err, steps, active, I0, jnp.int32(0)))
+
+        for i in range(4):
+            xo_ref[i] = x[i]
+            ko_ref[i] = k[i]
+            fo_ref[i] = f[i]
+        kto_ref[0] = kt
+        erro_ref[0] = err
+        stepso_ref[0] = steps
+        acto_ref[0] = active
+        if emissivity_fn is not None:
+            io_ref[0][0] = I
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("opt_gr", "opt_pol", "max_steps",
+                                   "max_step_dl", "interpret",
+                                   "emissivity_fn"))
+def _march_pallas(x, k, f, kt0, active0, a, eps, r_min, r_max, error_stop,
+                  opt_gr=True, opt_pol=False, max_steps=10000,
+                  max_step_dl=1e9, interpret=False, emissivity_fn=None):
+    """Run the kernel over (4, rows, 128)-shaped state components."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = x.shape[1]
+    grid = (rows // _BLOCK_ROWS,)
+    scal = jnp.stack([a, eps, r_min, r_max, error_stop]).astype(jnp.float32)
+
+    blk4 = pl.BlockSpec((4, _BLOCK_ROWS, _LANES), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+    blk1 = pl.BlockSpec((1, _BLOCK_ROWS, _LANES), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+    scal_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    lane = jax.ShapeDtypeStruct((1,) + x.shape[1:], jnp.float32)
+    out_shapes = [
+        jax.ShapeDtypeStruct(x.shape, jnp.float32),       # x
+        jax.ShapeDtypeStruct(x.shape, jnp.float32),       # k
+        jax.ShapeDtypeStruct(x.shape, jnp.float32),       # f
+        lane,                                             # kt
+        lane,                                             # err
+        lane,                                             # steps
+        lane,                                             # active
+    ]
+    out_specs = [blk4, blk4, blk4, blk1, blk1, blk1, blk1]
+    if emissivity_fn is not None:
+        out_shapes.append(lane)                           # accumulated I
+        out_specs.append(blk1)
+    kernel = _make_kernel(opt_gr, opt_pol, max_steps, max_step_dl,
+                          emissivity_fn)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[scal_spec, blk4, blk4, blk4, blk1, blk1],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        interpret=interpret,
+    )(scal, x.astype(jnp.float32), k.astype(jnp.float32),
+      f.astype(jnp.float32), kt0.astype(jnp.float32),
+      active0.astype(jnp.float32))
+
+
+def raytrace_pallas(state, r_max=1e4, max_steps=10000, error_stop=1e-2,
+                    interpret=None, emissivity_fn=None, active0=None):
+    """Drop-in f32 TPU-kernel equivalent of `raytrace(state, ...)`.
+
+    Pads the ray batch to (rows, 128) tiles, marches every ray to
+    termination inside one Pallas kernel and returns
+    (final RaytraceState, still_active mask) exactly like `raytrace`.
+
+    `interpret=None` (default) compiles the Mosaic kernel on TPU and falls
+    back to the Pallas interpreter elsewhere (CPU tests).
+
+    `emissivity_fn(t, r, m, phi)` (pure jnp, optional) fuses optically-thin
+    radiative transfer into the step body: the kernel accumulates
+    I = int j dl along each ray and the return becomes
+    (state, still_active, I).
+    """
+    from .raytrace import RaytraceState  # local import, avoids cycle
+    from ..core import r_bh
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    batch_shape = state.x.shape[:-1]
+    n = int(np.prod(batch_shape)) if batch_shape else 1
+    per_tile = _BLOCK_ROWS * _LANES
+    n_pad = max(per_tile, ((n + per_tile - 1) // per_tile) * per_tile)
+
+    def comp(v, fill):
+        """(..., 4) -> (4, rows, 128) padded; padding rays are duplicates of
+        ray 0 but flagged inactive via r<r_min termination (r=0)."""
+        flat = v.reshape(n, 4).T
+        pad = jnp.full((4, n_pad - n), fill, flat.dtype)
+        return jnp.concatenate([flat, pad], -1).reshape(4, n_pad // _LANES,
+                                                        _LANES)
+
+    # the kernel carries theta (no acos on-device); convert m -> theta once
+    x_th = state.x.at[..., 2].set(
+        jnp.arccos(jnp.clip(state.x[..., 2], -1.0, 1.0)))
+    x = comp(x_th, 0.0)        # padded rays: r=0 -> terminate on step 1
+    k = comp(state.k, 0.0)
+    f = comp(state.f, 0.0)
+    kt = state.kt.reshape(n)
+    kt = jnp.concatenate([kt, jnp.ones(n_pad - n, kt.dtype)])
+    kt = kt.reshape(1, n_pad // _LANES, _LANES)
+    # padded lanes and caller-masked rays start inactive (the XLA engine
+    # does the same via its active0 argument)
+    act = (jnp.ones(n, jnp.float32) if active0 is None
+           else jnp.asarray(active0, jnp.float32).reshape(n))
+    act = jnp.concatenate([act, jnp.zeros(n_pad - n, jnp.float32)])
+    act = act.reshape(1, n_pad // _LANES, _LANES)
+
+    a = jnp.asarray(state.a).reshape(-1)[0]
+    eps = jnp.asarray(state.step_epsilon).reshape(-1)[0]
+    r_min = 1.05 * r_bh(a)
+
+    outs = _march_pallas(
+        x, k, f, kt, act, jnp.float32(a), jnp.float32(eps), jnp.float32(r_min),
+        jnp.float32(r_max), jnp.float32(error_stop),
+        opt_gr=state.opt_gr, opt_pol=state.opt_pol,
+        max_steps=int(max_steps), interpret=interpret,
+        emissivity_fn=emissivity_fn)
+    xo, ko, fo, kto, erro, stepso, acto = outs[:7]
+
+    def un(v):
+        return v.reshape(4, n_pad).T[:n].reshape(batch_shape + (4,))
+
+    def un1(v):
+        return v.reshape(n_pad)[:n].reshape(batch_shape)
+
+    x_out = un(xo)
+    x_out = x_out.at[..., 2].set(jnp.cos(x_out[..., 2]))  # theta -> m
+    out = state._replace(
+        x=x_out, k=un(ko), f=un(fo), kt=un1(kto), error=un1(erro),
+        steps=un1(stepso).astype(jnp.int32))
+    if emissivity_fn is not None:
+        return out, un1(acto) > 0.5, un1(outs[7])
+    return out, un1(acto) > 0.5

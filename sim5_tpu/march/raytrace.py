@@ -25,8 +25,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..core import (kerr_metric, flat_metric, kerr_connection, flat_connection,
-                    geodesic_accel, dotprod, photon_carter_const, r_bh)
+from ..core import (kerr_metric, flat_metric,
+                    kerr_transport_accel, flat_transport_accel,
+                    dotprod, photon_carter_const, r_bh)
 
 RTOPT_NONE = 0
 RTOPT_FLAT = 1          # Minkowski instead of Kerr (sim5raytrace.h:21-23)
@@ -62,10 +63,11 @@ class RaytraceState:
         return dataclasses.replace(self, **kw)
 
 
-def _metric_conn(state, r, m):
+def _transport(state, r, m, U, V):
+    """-Gamma^i_jk U^j V^k at (r, m), fused (no dense connection tensor)."""
     if state.opt_gr:
-        return kerr_metric(state.a, r, m), kerr_connection(state.a, r, m)
-    return flat_metric(r, m), flat_connection(r, m)
+        return kerr_transport_accel(state.a, r, m, U, V)
+    return flat_transport_accel(r, m, U, V)
 
 
 def raytrace_prepare(a, x, k, f=None, precision=0.01, options=RTOPT_NONE):
@@ -103,12 +105,10 @@ def _rk4_step(state: RaytraceState, dl):
     dl_ = dl[..., None]
 
     def accel(xp, kp, fp):
-        _, G = _metric_conn(state, xp[..., 1], jnp.cos(xp[..., 2]))
-        dk = geodesic_accel(G, kp)
-        df = geodesic_accel(G, fp) if state.opt_pol else fp
-        if state.opt_pol:
-            # parallel transport: df^i = -Gamma^i_jk k^j f^k
-            df = -jnp.einsum('...ijk,...j,...k->...i', G, kp, fp)
+        rp, mp = xp[..., 1], jnp.cos(xp[..., 2])
+        dk = _transport(state, rp, mp, kp, kp)
+        # parallel transport: df^i = -Gamma^i_jk k^j f^k
+        df = _transport(state, rp, mp, kp, fp) if state.opt_pol else fp
         return dk, df
 
     k1 = k
@@ -136,8 +136,7 @@ def raytrace_step(state: RaytraceState, max_step=1e9, active=None):
     """
     if active is None:
         active = jnp.ones(state.x.shape[:-1], bool)
-    _, G = _metric_conn(state, state.x[..., 1], state.x[..., 2])
-    dk = geodesic_accel(G, state.k)
+    dk = _transport(state, state.x[..., 1], state.x[..., 2], state.k, state.k)
     curv = jnp.sum(jnp.abs(dk) / (jnp.abs(state.k) + _TINY), axis=-1) + _TINY
     dl = jnp.minimum(jnp.asarray(max_step, jnp.float64), state.step_epsilon / curv)
     dl = jnp.maximum(dl, 1e-3)

@@ -96,16 +96,10 @@ def hotspot_lightcurve(a, incl, r_spot, spot_size, t_obs, npix=256,
     return total
 
 
-def volume_image(a, incl, emissivity_fn, npix=128, rmax=25.0,
-                 r_start=60.0, max_steps=4000, precision=0.03):
-    """Optically-thin image of a 3-D emissivity field: each pixel's ray is
-    seeded exactly on its analytic geodesic at r=r_start and marched inward
-    accumulating I = int j(t, r, m, phi) dl.
-
-    `emissivity_fn(t, r, m, phi)` -> emissivity (pure, batched); rays start
-    at t=0 at r_start and t decreases into the past along the march
-    (backward raytracing), so time-dependent sources see retarded time.
-    """
+@partial(jax.jit, static_argnames=("npix",))
+def _volume_seed(a, incl, t0, npix, rmax, r_start, precision):
+    """Seed every pixel's ray on its analytic geodesic at r=r_start:
+    returns (march state, valid mask)."""
     alpha, beta = image_grid(npix, npix, rmax)
     g = geodesic_init_inf(incl, a, alpha, beta)
     ok = g.status == 0
@@ -127,9 +121,15 @@ def volume_image(a, incl, emissivity_fn, npix=128, rmax=25.0,
         [jnp.ones_like(r0), -jnp.ones_like(r0), jnp.zeros_like(r0),
          jnp.zeros_like(r0)], -1))
 
-    x0 = jnp.stack([jnp.zeros_like(r0), r0, m0, phi0], -1)
+    x0 = jnp.stack([jnp.full_like(r0, t0), r0, m0, phi0], -1)
     st = raytrace_prepare(a, x0, k, precision=precision)
-    r_min = 1.05 * r_bh(jnp.asarray(a))
+    return st, ok
+
+
+@partial(jax.jit, static_argnames=("emissivity_fn", "max_steps"))
+def _volume_march_xla(st, ok, r_start, emissivity_fn, max_steps):
+    """lax.while_loop march + RT accumulation (any precision)."""
+    r_min = 1.05 * r_bh(jnp.asarray(st.a).reshape(-1)[0])
 
     def body(carry):
         st, I, active, it = carry
@@ -146,18 +146,54 @@ def volume_image(a, incl, emissivity_fn, npix=128, rmax=25.0,
         return jnp.any(active) & (it < max_steps)
 
     st, I, active, _ = jax.lax.while_loop(
-        cond, body, (st, jnp.zeros(alpha.shape), ok, jnp.asarray(0)))
+        cond, body, (st, jnp.zeros_like(ok, dtype=st.x.dtype), ok,
+                     jnp.asarray(0)))
     return I
+
+
+def volume_image(a, incl, emissivity_fn, npix=128, rmax=25.0,
+                 r_start=60.0, max_steps=4000, precision=0.03,
+                 engine="xla", t0=0.0):
+    """Optically-thin image of a 3-D emissivity field: each pixel's ray is
+    seeded exactly on its analytic geodesic at r=r_start and marched inward
+    accumulating I = int j(t, r, m, phi) dl.
+
+    `emissivity_fn(t, r, m, phi)` -> emissivity (pure, batched); rays start
+    at t=t0 (traced; default 0) at r_start and t decreases into the past
+    along the march (backward raytracing), so time-dependent sources see
+    retarded time.  Sweeping t0 reuses one compilation for a whole light
+    curve.
+
+    engine="pallas" runs the march + RT accumulation inside the fused
+    TPU kernel (sim5_tpu/march/pallas_march.py; f32, much faster than the
+    XLA loop); "xla" is the lax.while_loop engine (any precision).
+
+    The seeding and marching stages are jitted separately (one XLA program
+    each) rather than as one monolith -- the combined program chokes the
+    remote Mosaic+XLA compile path, and the split compiles in seconds and
+    caches independently.
+    """
+    st, ok = _volume_seed(a, incl, t0, npix, rmax, r_start, precision)
+
+    if engine == "pallas":
+        from ..march import raytrace_pallas
+        stP, _, I = raytrace_pallas(
+            st, r_max=r_start * 1.2, max_steps=max_steps, error_stop=1e-2,
+            emissivity_fn=emissivity_fn, active0=ok)
+        return jnp.where(ok, I, 0.0)
+
+    return _volume_march_xla(st, ok, r_start, emissivity_fn, max_steps)
 
 
 def volume_lightcurve(a, incl, emissivity_fn_t, t_obs, **kw):
     """Light curve of a time-dependent optically-thin source: one
     `volume_image` per observer time, with the source evaluated at the
-    ray-local (retarded) coordinate time."""
+    ray-local (retarded) coordinate time.
+
+    The observer time enters as the ray's initial t-coordinate (traced),
+    so the whole curve shares one compiled render."""
     fluxes = []
     for t in np.asarray(t_obs):
-        def j(tt, r, m, phi, _t=float(t)):
-            return emissivity_fn_t(_t + tt, r, m, phi)  # tt<=0 along march
-        I = volume_image(a, incl, j, **kw)
+        I = volume_image(a, incl, emissivity_fn_t, t0=float(t), **kw)
         fluxes.append(float(jnp.sum(I)))
     return np.asarray(fluxes)
