@@ -228,3 +228,47 @@ def nt_h(disk: NTDisk, r):
 def nt_dhdr(disk: NTDisk, r):
     """Surface slope dH/dR (zero for a thin disk).  (sim5disk-nt.c:303-313)"""
     return jnp.zeros_like(jnp.asarray(r, jnp.float64))
+
+
+def nt_dump(disk: NTDisk, filename=None, rmax=2000.0):
+    """Print the radial disk structure (r, flux, sigma, ell, vr, H, dH/dr)
+    from r_ms out to `rmax` on the reference's x1.05 geometric grid, to
+    `filename` or stdout.  (reference: disk_nt_dump, sim5disk-nt.c:318-365)
+
+    The whole radial profile is evaluated as one batched device call;
+    only the formatting is host-side.
+    """
+    import io
+    import math
+    import sys
+
+    import numpy as np
+
+    rms = float(disk.rms)
+    n = max(1, int(math.ceil(math.log(rmax / rms) / math.log(1.05))))
+    r = jnp.asarray(rms * 1.05 ** np.arange(n), jnp.float64)
+    cols = [r, nt_flux(disk, r), nt_sigma(disk, r), nt_ell(disk, r),
+            nt_vr(disk, r), nt_h(disk, r), nt_dhdr(disk, r)]
+    cols = [np.asarray(c) for c in cols]
+
+    buf = io.StringIO()
+    buf.write("# (sim5_tpu disk.nt) dump\n")
+    buf.write("#-------------------------------------------\n")
+    buf.write(f"# M        = {float(disk.M):.4f}\n")
+    buf.write(f"# a        = {float(disk.a):.4f}\n")
+    buf.write(f"# rmin     = {rms:.4f}\n")
+    buf.write(f"# rmax     = {rmax:.4f}\n")
+    buf.write(f"# alpha    = {float(disk.alpha):.4f}\n")
+    buf.write(f"# L        = {float(nt_lumi(disk)):e}\n")
+    buf.write(f"# mdot     = {float(disk.mdot):e}\n")
+    buf.write("#-------------------------------------------\n")
+    buf.write("# r   flux   sigma   ell   vr   H   dH/dr\n")
+    buf.write("#-------------------------------------------\n")
+    for row in zip(*cols):
+        buf.write("  ".join(f"{v:e}" for v in row) + "\n")
+
+    if filename:
+        with open(filename, "w") as fh:
+            fh.write(buf.getvalue())
+    else:
+        sys.stdout.write(buf.getvalue())

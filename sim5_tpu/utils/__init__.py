@@ -8,7 +8,8 @@ replaced by jax.random throughout)
 from .math import (
     sqr, sqr3, sqr4, sign, deg2rad, rad2deg,
     reduce_angle_pi, reduce_angle_2pi, ensure_range,
-    cartesian_to_spherical, spherical_to_cartesian,
+    cartesian_to_spherical, spherical_to_cartesian, sim5round,
+    cartesian_vector_to_spherical, cartesian_vector_to_spherical_at,
 )
 from .options import key_value_get
 from .log import get_logger, log_run

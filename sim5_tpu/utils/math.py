@@ -50,6 +50,40 @@ def ensure_range(x, lo, hi, acc):
     return jnp.clip(x, lo, hi), ok
 
 
+def sim5round(x):
+    """Round-half-away-from-zero to integer (reference: sim5round, sim5math.c:16)."""
+    x = jnp.asarray(x)
+    return jnp.trunc(x + jnp.where(x >= 0, 0.5, -0.5)).astype(jnp.int64)
+
+
+def cartesian_vector_to_spherical(x, y, z, Vx, Vy, Vz):
+    """Cartesian vector [Vx,Vy,Vz] at point [x,y,z] -> spherical-basis
+    components (V_r, V_theta, V_phi).  (reference: cartesian2spherical1,
+    sim5math.c:150-163)
+    """
+    r = jnp.sqrt(x * x + y * y + z * z)
+    cos_h = z / r
+    sin_h = jnp.sqrt(jnp.maximum(1.0 - cos_h * cos_h, 0.0))
+    cos_f = x / r / sin_h
+    sin_f = y / r / sin_h
+    return _vec_to_spherical_basis(cos_h, sin_h, sin_f, cos_f, Vx, Vy, Vz)
+
+
+def cartesian_vector_to_spherical_at(cos_h, sin_f, cos_f, Vx, Vy, Vz):
+    """Same transform with the point given as (cos theta, sin phi, cos phi).
+    (reference: cartesian2spherical2, sim5math.c:165-176)
+    """
+    sin_h = jnp.sqrt(jnp.maximum(1.0 - cos_h * cos_h, 0.0))
+    return _vec_to_spherical_basis(cos_h, sin_h, sin_f, cos_f, Vx, Vy, Vz)
+
+
+def _vec_to_spherical_basis(cos_h, sin_h, sin_f, cos_f, Vx, Vy, Vz):
+    Vr = sin_h * cos_f * Vx + sin_h * sin_f * Vy + cos_h * Vz
+    Vh = cos_h * cos_f * Vx + cos_h * sin_f * Vy - sin_h * Vz
+    Vf = -sin_f * Vx + cos_f * Vy
+    return Vr, Vh, Vf
+
+
 def cartesian_to_spherical(x, y, z):
     """(x,y,z) -> (r, theta, phi).  (sim5math.c:150-163)"""
     r = jnp.sqrt(x * x + y * y + z * z)

@@ -105,3 +105,60 @@ class TestRadiation:
         E = np.asarray(radiation.blackbody_photon_energy_random(key, T, (200000,)))
         kT_kev = consts.boltzmann_k * T * consts.erg2kev
         assert np.isclose(E.mean() / kT_kev, 2.701, rtol=0.02)
+
+
+class TestMathHelpers:
+    def test_cartesian_vector_to_spherical_round_trip(self):
+        # push spherical basis vectors through the transform: the spherical
+        # components of d/dr, d/dtheta-hat, d/dphi-hat at P must come back
+        # as unit axes (reference: cartesian2spherical1, sim5math.c:150-163)
+        from sim5_tpu.utils import (cartesian_vector_to_spherical,
+                                    cartesian_vector_to_spherical_at)
+        rng = np.random.default_rng(7)
+        for _ in range(8):
+            th = rng.uniform(0.1, np.pi - 0.1)
+            ph = rng.uniform(0, 2 * np.pi)
+            r = rng.uniform(0.5, 10.0)
+            x, y, z = (r * np.sin(th) * np.cos(ph),
+                       r * np.sin(th) * np.sin(ph), r * np.cos(th))
+            er = np.array([np.sin(th) * np.cos(ph), np.sin(th) * np.sin(ph),
+                           np.cos(th)])
+            eh = np.array([np.cos(th) * np.cos(ph), np.cos(th) * np.sin(ph),
+                           -np.sin(th)])
+            ef = np.array([-np.sin(ph), np.cos(ph), 0.0])
+            for vec, want in ((er, (1, 0, 0)), (eh, (0, 1, 0)), (ef, (0, 0, 1))):
+                got = cartesian_vector_to_spherical(x, y, z, *vec)
+                np.testing.assert_allclose(np.asarray(got), want, atol=1e-12)
+                got2 = cartesian_vector_to_spherical_at(
+                    np.cos(th), np.sin(ph), np.cos(ph), *vec)
+                np.testing.assert_allclose(np.asarray(got2), want, atol=1e-12)
+
+    def test_sim5round(self):
+        from sim5_tpu.utils import sim5round
+        vals = np.array([0.4, 0.5, 1.5, -0.4, -0.5, -1.5, 2.0])
+        want = np.array([0, 1, 2, 0, -1, -2, 2])
+        np.testing.assert_array_equal(np.asarray(sim5round(vals)), want)
+
+
+class TestNTDump:
+    def test_dump_columns_match_api(self, tmp_path):
+        # the dump file must agree column-by-column with the nt_* functions
+        # (reference: disk_nt_dump, sim5disk-nt.c:318-365)
+        from sim5_tpu.disk import (nt_setup, nt_flux, nt_sigma, nt_ell,
+                                   nt_dump)
+        disk = nt_setup(10.0, 0.7, 0.1, 0.1)
+        path = tmp_path / "dump.txt"
+        nt_dump(disk, str(path))
+        data = np.loadtxt(path)
+        assert data.shape[1] == 7 and data.shape[0] > 100
+        # reconstruct the exact grid (the file stores %e-rounded values;
+        # flux is steep near the ISCO so re-evaluating at rounded r would
+        # amplify the print rounding)
+        r = float(disk.rms) * 1.05 ** np.arange(data.shape[0])
+        np.testing.assert_allclose(data[:, 0], r, rtol=1e-6)
+        assert r[-1] <= 2000.0 * 1.05
+        for col, fn in ((1, nt_flux), (2, nt_sigma), (3, nt_ell)):
+            want = np.asarray(fn(disk, r))
+            np.testing.assert_allclose(data[:, col], want, rtol=1e-5,
+                                       atol=1e-6 * np.abs(want).max())
+        assert (data[:, 4:] == 0).all()  # vr, H, dH/dr for a thin disk
