@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from .. import consts
 from ..core import r_ms
+from ..special.quadrature import simpson_weights
 
 
 class NTDisk(NamedTuple):
@@ -135,8 +136,7 @@ def nt_lumi(disk: NTDisk):
 
     ys = integrand(xs)
     h = (x1 - x0) / n
-    w = jnp.ones(n + 1).at[1:-1:2].set(4.0).at[2:-1:2].set(2.0)
-    L = h / 3.0 * jnp.sum(w * ys)
+    L = h / 3.0 * jnp.sum(simpson_weights(n) * ys)
     L = L * (disk.M * consts.grav_radius) ** 2
     return L / (consts.L_Edd * disk.M)
 

@@ -18,7 +18,7 @@ def integrate_trapezoid(f, a, b, n=4096):
     sim5integration.c:34-77)"""
     xs = a + (b - a) * jnp.arange(n + 1) / n
     ys = f(xs)
-    w = jnp.ones(n + 1).at[0].set(0.5).at[-1].set(0.5)
+    w = trapezoid_weights(n)
     return (b - a) / n * jnp.sum(w * ys)
 
 
@@ -30,8 +30,24 @@ def integrate_simpson(f, a, b, n=4096):
     n = n + (n % 2)
     xs = a + (b - a) * jnp.arange(n + 1) / n
     ys = f(xs)
-    w = jnp.ones(n + 1).at[1:-1:2].set(4.0).at[2:-1:2].set(2.0)
+    w = simpson_weights(n)
     return (b - a) / n / 3.0 * jnp.sum(w * ys)
+
+
+def trapezoid_weights(n):
+    """Trapezoid weights [0.5, 1, ..., 1, 0.5] built branchlessly (no
+    scatter: strided in-place updates compile poorly on some TPU runtimes
+    and a where-on-index is the idiomatic XLA form anyway)."""
+    i = jnp.arange(n + 1)
+    return jnp.where((i == 0) | (i == n), 0.5, 1.0)
+
+
+def simpson_weights(n):
+    """Composite-Simpson weights [1, 4, 2, 4, ..., 2, 4, 1] (n even),
+    built branchlessly from index parity instead of strided scatter."""
+    i = jnp.arange(n + 1)
+    inner = jnp.where(i % 2 == 1, 4.0, 2.0)
+    return jnp.where((i == 0) | (i == n), 1.0, inner)
 
 
 def gauleg(a, b, n):
