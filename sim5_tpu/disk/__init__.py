@@ -6,3 +6,4 @@ from .nt import (
     nt_sigma, nt_ell, nt_vr, nt_h, nt_dhdr, nt_dump,
 )
 from .base import DiskModel, ThinDisk
+from .external import ExternalDisk, ExternalDiskLibrary

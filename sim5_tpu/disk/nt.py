@@ -259,6 +259,7 @@ def nt_dump(disk: NTDisk, filename=None, rmax=2000.0):
     buf.write(f"# rmin     = {rms:.4f}\n")
     buf.write(f"# rmax     = {rmax:.4f}\n")
     buf.write(f"# alpha    = {float(disk.alpha):.4f}\n")
+    buf.write(f"# options  = {int(disk.options)}\n")
     buf.write(f"# L        = {float(nt_lumi(disk)):e}\n")
     buf.write(f"# mdot     = {float(disk.mdot):e}\n")
     buf.write("#-------------------------------------------\n")

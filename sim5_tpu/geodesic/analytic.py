@@ -566,6 +566,59 @@ def geodesic_timedelay(g: Geodesic, P1, r1c, m1c, P2, r2c, m2c):
     return jnp.where(is_rr, t_rr, jnp.where(is_rc, t_rc, jnp.nan))
 
 
+def _theta_time_cum(g: Geodesic, P):
+    """Cumulative poloidal time integral  t_theta(P) = a^2 * int m(P')^2 dP'
+    from the oscillation-fold base point to P (monotone increasing in P).
+
+    From Carter's equations (E=1):  Sigma dt/dlambda splits into a pure-r
+    part (the R-integrals of geodesic_timedelay) plus  a^2 m^2, so the
+    theta-part of the travel time is  int a^2 m^2 dP.  With
+    Theta(m) = a^2 (m2m + m^2)(m2p - m^2)  and  dP = dm/sqrt(Theta), each
+    monotone segment contributes  a * int m^2 dm / sqrt((m2m+m^2)(m2p-m^2))
+    = a * integral_T_m2  (BF 213.06).  Oscillations are folded in closed
+    form exactly like `_fold_pol`.
+
+    NOTE the reference's own (disabled) draft used a^2 * integral_T_m2
+    (sim5kerr-geod.c:663-702) -- that double-counts one factor of `a`
+    already inside sqrt(Theta); this implementation is validated against
+    the stepwise integrator's coordinate time instead (tests/test_geodesic.py).
+
+    Valid for q > 0 (m2m > 0); vortical rays (q < 0) return 0.
+    """
+    from ..special import integral_T_m2
+
+    sign0 = jnp.where(g.beta >= 0.0, 1.0, -1.0)
+    T0 = jnp.where(sign0 > 0.0, -(g.Tpp - g.Tip), -g.Tip)
+    n = jnp.maximum(0.0, jnp.ceil((P - T0) / g.Tpp) - 1.0)
+    dT = P - (T0 + n * g.Tpp)                     # in (0, Tpp]
+    m_abs = jnp.abs(_theta_inv(g, dT))            # |m| at P
+
+    qpos = g.q > 0.0
+    m2m = jnp.where(qpos, g.m2m, 1.0)             # dummy-safe
+    m2p = jnp.where(qpos, g.m2p, 0.5)
+    x = jnp.minimum(m_abs, jnp.sqrt(m2p))
+    M2x = integral_T_m2(m2m, m2p, x)
+    M20 = integral_T_m2(m2m, m2p, jnp.zeros_like(x))
+    seg = jnp.where(dT <= 0.5 * g.Tpp, M2x, 2.0 * M20 - M2x)
+    cum = g.a * (n * 2.0 * M20 + seg)
+    return jnp.where(qpos, cum, 0.0)
+
+
+def geodesic_timedelay_full(g: Geodesic, P1, r1c, m1c, P2, r2c, m2c):
+    """Travel time between positions P1 and P2 including the poloidal
+    (theta) term the reference leaves disabled (sim5kerr-geod.c:663-702).
+
+    This makes analytic light-curve/reverberation delays exact at any
+    inclination; agreement with the stepwise engine's coordinate-time
+    accumulation is the validation oracle (no C oracle exists).
+    For vortical rays (q < 0) only the radial part is returned.
+    """
+    t_rad = geodesic_timedelay(g, P1, r1c, m1c, P2, r2c, m2c)
+    t_th = jnp.abs(_theta_time_cum(g, jnp.asarray(P2, jnp.float64))
+                   - _theta_time_cum(g, jnp.asarray(P1, jnp.float64)))
+    return t_rad + t_th
+
+
 # ---------------------------------------------------------------------------
 # derived operations
 # ---------------------------------------------------------------------------
@@ -614,16 +667,30 @@ def geodesic_momentum(g: Geodesic, P, r=None, m=None):
     return jnp.where(bad[..., None], jnp.nan, k)
 
 
-def geodesic_follow(g: Geodesic, step, P, r, m):
+# geodesic_follow status codes: the reference returns TRUE while the ray
+# remains inside the valid domain, FALSE when it leaves (sim5kerr-geod.c:890).
+# The batched re-design adds a third code for a step that did not fit into
+# the fixed substep budget (the reference's unbounded while-loop cannot hit
+# this, so callers must check it explicitly).
+FOLLOW_STOPPED = 0        # ray left the valid domain (horizon / P range)
+FOLLOW_OK = 1             # full step taken
+FOLLOW_NOT_CONVERGED = 2  # substep budget exhausted before the step completed
+
+
+def geodesic_follow(g: Geodesic, step, P, r, m, max_substeps=64):
     """Advance (P, r, m) by an affine step along the geodesic.
 
     Like the reference (sim5kerr-geod.c:890-925) the step is taken in
     affine-parameter units (dP = dl / (r^2 + a^2 m^2)) and clamped to
-    5e-2*sqrt(r) per substep; returns (P, r, m, status) with status=1 while
-    the ray remains inside the valid domain.
+    5e-2*sqrt(r) per substep; returns (P, r, m, status) with
+    status=FOLLOW_OK(1) while the ray remains inside the valid domain,
+    FOLLOW_STOPPED(0) when it leaves, and FOLLOW_NOT_CONVERGED(2) when the
+    requested step needed more than `max_substeps` clamped substeps (the
+    reference's while-loop has no such cap; callers must treat 2 as
+    "call again with the remainder" or raise `max_substeps`).
 
     Implemented as a fixed-trip masked loop so whole batches advance in
-    lockstep (substeps: ceil(|step| / min-clamp) bounded by 64).
+    lockstep.
     """
     MAXSTEP = 5e-2
     P = jnp.asarray(P, jnp.float64)
@@ -653,6 +720,7 @@ def geodesic_follow(g: Geodesic, step, P, r, m):
     active0 = jnp.abs(step) > 1e-5
     failed0 = jnp.zeros(P.shape, bool)
     (P, r, m, remaining, active, failed), _ = jax.lax.scan(
-        body, (P, r, m, step, active0, failed0), None, length=64)
-    status = jnp.where(failed, 0, 1)
+        body, (P, r, m, step, active0, failed0), None, length=max_substeps)
+    status = jnp.where(failed, FOLLOW_STOPPED,
+                       jnp.where(active, FOLLOW_NOT_CONVERGED, FOLLOW_OK))
     return P, r, m, status

@@ -295,10 +295,18 @@ class DiskRaytrace:
         return np.asarray(radii), np.asarray(drs), nphi
 
     def spectrum(self, incl_deg, energies, limbdk=1, flat=0,
-                 radres=0.15, angres=90.0, hardening=0.0, batch=8192):
+                 radres=0.15, angres=90.0, hardening=0.0, batch=8192,
+                 return_diagnostics=False):
         """Observed disk spectrum [erg/s/cm2/keV] on the detector energy
         grid, by solid-angle-weighted accumulation over a polar grid of the
         observer plane.
+
+        With `return_diagnostics=True` also returns a dict with the
+        solid-angle coverage error (`domega_err` = solid angle of pixels
+        whose geodesic setup/surface solve failed, `domega_tot` = total) --
+        the accumulator the reference driver keeps as dOmega_err
+        (sim5diskraytrace.py:76,93) to diagnose unresolved grids.  A
+        warning is logged whenever the fraction exceeds 1%.
 
         (reference: DiskRaytrace.spectrum, sim5diskraytrace.py:43-134)
         """
@@ -351,4 +359,14 @@ class DiskRaytrace:
             spec_0 += np.asarray(s0)
             dom_err += float(de)
             dom_tot += float(dt)
+        if dom_tot > 0.0 and dom_err / dom_tot > 0.01:
+            from ..utils.log import get_logger, log_run
+            log_run(get_logger(), "spectrum_coverage_warning",
+                    domega_err=dom_err, domega_tot=dom_tot,
+                    err_fraction=dom_err / dom_tot,
+                    incl_deg=float(incl_deg), radres=float(radres),
+                    angres=float(angres))
+        if return_diagnostics:
+            return spec_f, spec_0, {"domega_err": dom_err,
+                                    "domega_tot": dom_tot}
         return spec_f, spec_0

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..core import gfactorK, OmegaK, r_bh, r_ms
 from ..geodesic import (geodesic_init_inf, geodesic_find_midplane_crossing,
                         geodesic_position_rad, geodesic_position_azm,
-                        geodesic_timedelay, geodesic_position_pol,
+                        geodesic_timedelay_full, geodesic_position_pol,
                         geodesic_P_int, geodesic_momentum)
 from ..march import raytrace_prepare, raytrace_step
 from ..render.image import image_grid
@@ -52,11 +52,23 @@ def equatorial_crossing_map(a, incl, npix, rmax, order=0):
     hit = hit & jnp.isfinite(gf) & (r_s > r_ms(jnp.asarray(a)))
     gf = jnp.where(hit, gf, 1.0)
     phi = jnp.where(hit & jnp.isfinite(phi), phi, 0.0)
-    # travel time from a fixed large radius to the crossing point
-    P_far = jnp.where(hit, jnp.minimum(0.5 * jnp.asarray(P), 1e-3), 1e-3)
+    # Travel time to the crossing, anchored at a COMMON far-field sphere
+    # r=R_FAR plus the analytic plane-wavefront correction: along an
+    # incoming ray with impact parameter b, the coordinate time from the
+    # observer satisfies t(r) = r + 2 ln r + (4 + b^2/2 + ...)/r + const,
+    # so relative to a plane wavefront the ray reaches r=R_FAR late by
+    # b^2/(2 R_FAR); residual pixel-dependent error is O(b^2/R_FAR^2).
+    # The delay itself uses the FULL time integral (radial + poloidal) --
+    # the reference disables the theta part (sim5kerr-geod.c:663-702),
+    # which is wrong at moderate/high inclination.
+    R_FAR = 1e4
+    P_far = geodesic_P_int(g, jnp.full_like(r_s, R_FAR), 0)
+    P_far = jnp.where(jnp.isfinite(P_far), P_far, 1e-4)
     r_far = geodesic_position_rad(g, P_far)
-    dt = geodesic_timedelay(g, jnp.where(hit, P, 1.0), r_s, m0,
-                            P_far, r_far, geodesic_position_pol(g, P_far))
+    m_far = geodesic_position_pol(g, P_far)
+    dt = geodesic_timedelay_full(g, jnp.where(hit, P, 1.0), r_s, m0,
+                                 P_far, r_far, m_far)
+    dt = dt + (alpha ** 2 + beta ** 2) / (2.0 * R_FAR)
     dt = jnp.where(hit & jnp.isfinite(dt), dt, 0.0)
     dt = dt - jnp.min(jnp.where(hit, dt, jnp.inf))
     return dict(r=r_s, phi=phi, g=gf, delay=dt, hit=hit,

@@ -51,9 +51,13 @@ def ensure_range(x, lo, hi, acc):
 
 
 def sim5round(x):
-    """Round-half-away-from-zero to integer (reference: sim5round, sim5math.c:16)."""
+    """Round to integer as ``(long)(num + 0.5)`` (reference: sim5round,
+    sim5math.c:16): add 0.5, then truncate toward zero.  For negative
+    inputs this differs from round-half-away-from-zero: -0.5 -> 0,
+    -1.5 -> -1, -1.2 -> 0, matching the C cast semantics exactly.
+    """
     x = jnp.asarray(x)
-    return jnp.trunc(x + jnp.where(x >= 0, 0.5, -0.5)).astype(jnp.int64)
+    return jnp.trunc(x + 0.5).astype(jnp.int_)
 
 
 def cartesian_vector_to_spherical(x, y, z, Vx, Vy, Vz):
@@ -64,8 +68,13 @@ def cartesian_vector_to_spherical(x, y, z, Vx, Vy, Vz):
     r = jnp.sqrt(x * x + y * y + z * z)
     cos_h = z / r
     sin_h = jnp.sqrt(jnp.maximum(1.0 - cos_h * cos_h, 0.0))
-    cos_f = x / r / sin_h
-    sin_f = y / r / sin_h
+    # On the z-axis (sin_h -> 0) the azimuthal basis is degenerate; the
+    # reference returns garbage there (same 0/0 hazard).  We pick the
+    # phi=0 convention (cos_f=1, sin_f=0) so results stay finite.
+    safe = jnp.maximum(sin_h, 1e-300)
+    on_axis = sin_h < 1e-15
+    cos_f = jnp.where(on_axis, 1.0, x / r / safe)
+    sin_f = jnp.where(on_axis, 0.0, y / r / safe)
     return _vec_to_spherical_basis(cos_h, sin_h, sin_f, cos_f, Vx, Vy, Vz)
 
 

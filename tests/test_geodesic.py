@@ -236,3 +236,140 @@ class TestTimedelay:
         assert ok.mean() > 0.95, (
             f"{(~ok).sum()}/{ok.size} timedelay mismatches; "
             f"max rel {np.max(np.abs(dt[both]-ref[both])/(np.abs(ref[both])+1e-30)):.2e}")
+
+
+class TestFollow:
+    def test_follow_small_step_ok(self):
+        g = gd.geodesic_init_inf(np.radians(60.0), 0.5, 4.0, 2.0)
+        P0 = gd.geodesic_P_int(g, 1000.0, 0)
+        r0 = gd.geodesic_position_rad(g, P0)
+        m0 = gd.geodesic_position_pol(g, P0)
+        P, r, m, st = gd.geodesic_follow(g, 1.0, P0, r0, m0)
+        assert int(st) == gd.FOLLOW_OK
+        assert float(r) < float(r0)  # moving inward
+
+    def test_follow_huge_step_reports_not_converged(self):
+        """A step larger than the substep budget can consume must be flagged
+        (the reference's while-loop has no cap, sim5kerr-geod.c:890-925,
+        so silent truncation would be a divergence)."""
+        g = gd.geodesic_init_inf(np.radians(60.0), 0.5, 4.0, 2.0)
+        P0 = gd.geodesic_P_int(g, 1000.0, 0)
+        r0 = gd.geodesic_position_rad(g, P0)
+        m0 = gd.geodesic_position_pol(g, P0)
+        # max substep is 5e-2*sqrt(r) ~ 1.6 at r=1000, so 64 substeps cover
+        # ~100 affine units at most; ask for 1e4
+        P, r, m, st = gd.geodesic_follow(g, 1e4, P0, r0, m0)
+        assert int(st) == gd.FOLLOW_NOT_CONVERGED
+        # raising the budget must let the same step make further progress
+        P2, r2, m2, st2 = gd.geodesic_follow(g, 1e4, P0, r0, m0,
+                                             max_substeps=256)
+        assert float(P2) > float(P)
+
+
+class TestTimedelayFull:
+    """The full (radial + poloidal) travel time, validated against the
+    stepwise integrator's coordinate-time accumulation -- the theta part
+    is disabled in the reference (sim5kerr-geod.c:663-702), so the march
+    is the only oracle."""
+
+    @staticmethod
+    def _march_cross_time(a, incl, alpha, beta, r_far, precision=0.01):
+        import jax
+        import jax.numpy as jnp
+        from sim5_tpu.march import raytrace_prepare, raytrace_step
+
+        g = gd.geodesic_init_inf(incl, a, alpha, beta)
+        P1 = gd.geodesic_P_int(g, jnp.full_like(g.a, r_far), 0)
+        r1 = gd.geodesic_position_rad(g, P1)
+        m1 = gd.geodesic_position_pol(g, P1)
+        ok = (g.status == 0) & jnp.isfinite(P1) & jnp.isfinite(r1)
+        r1s = jnp.where(ok, r1, 10.0)
+        m1s = jnp.where(ok, m1, 0.1)
+        k = gd.geodesic_momentum(g, jnp.where(ok, P1, 1e-3), r1s, m1s)
+        k = k.at[..., 2].multiply(-1.0)
+        k = jnp.where(ok[..., None], k, jnp.stack(
+            [jnp.ones_like(r1s), -jnp.ones_like(r1s), jnp.zeros_like(r1s),
+             jnp.zeros_like(r1s)], -1))
+        x0 = jnp.stack([jnp.zeros_like(r1s), r1s, m1s,
+                        jnp.zeros_like(r1s)], -1)
+        st = raytrace_prepare(a, x0, k, precision=precision)
+
+        def body(carry):
+            st, t_cross, active, it, xprev = carry
+            st2, _dl = raytrace_step(st, active=active)
+            m_new, m_old = st2.x[..., 2], xprev[..., 2]
+            crossed = active & (m_new <= 0.0) & (m_old > 0.0)
+            w = m_old / jnp.maximum(m_old - m_new, 1e-30)
+            tc = xprev[..., 0] + w * (st2.x[..., 0] - xprev[..., 0])
+            t_cross = jnp.where(crossed, tc, t_cross)
+            active = (active & ~crossed & (st2.x[..., 1] > 1.1)
+                      & (st2.x[..., 1] < 2.0 * r_far) & (st2.error < 1e-2))
+            return st2, t_cross, active, it + 1, st2.x
+
+        def cond(carry):
+            _, _, active, it, _ = carry
+            return jnp.any(active) & (it < 60000)
+
+        t0 = jnp.full_like(r1s, np.nan)
+        _, t_cross, _, _, _ = jax.lax.while_loop(
+            cond, body, (st, t0, ok, jnp.asarray(0), st.x))
+        return g, P1, r1, m1, t_cross
+
+    def test_grid_agreement_vs_march(self):
+        """50x50 impact-parameter grid: |dt_analytic - dt_march|/dt < 1e-3
+        (VERDICT round-1 gate).  Measured agreement is ~1e-6 of the total
+        (march precision limited); the radial-only delay misses by up to
+        ~1e-3 of the total at this inclination, so the gate also proves
+        the theta term is actually present."""
+        a, incl = 0.7, np.radians(70.0)
+        n = 50
+        al = np.linspace(-9.0, 9.0, n)
+        be = np.linspace(0.5, 9.0, n)
+        A, B = [x.ravel() for x in np.meshgrid(al, be)]
+        g, P1, r1, m1, t_march = self._march_cross_time(a, incl, A, B, 300.0)
+
+        P2 = gd.geodesic_find_midplane_crossing(g, 0)
+        r2 = gd.geodesic_position_rad(g, P2)
+        dt = gd.geodesic_timedelay_full(g, P1, r1, m1, P2, r2,
+                                        np.zeros(len(A)))
+        dt = np.asarray(dt)
+        tm = np.abs(np.asarray(t_march))
+        ok = np.isfinite(dt) & np.isfinite(tm)
+        assert ok.sum() > 0.8 * n * n
+        rel = np.abs(dt[ok] - tm[ok]) / tm[ok]
+        assert rel.max() < 1e-3, f"max rel delay error {rel.max():.2e}"
+        # and the theta part is non-trivial: radial-only must be worse
+        dt_rad = np.asarray(gd.geodesic_timedelay(
+            g, P1, r1, m1, P2, r2, np.zeros(len(A))))
+        rel_rad = np.abs(dt_rad[ok] - tm[ok]) / tm[ok]
+        assert rel_rad.max() > 3.0 * rel.max()
+
+    def test_farfield_anchor_consistency(self):
+        """Relative delays anchored at two different far-field radii (with
+        the b^2/2R wavefront correction) must agree -- validates the
+        far-field expansion used by render/lightcurve.py."""
+        a, incl = 0.9, np.radians(60.0)
+        al = np.linspace(-8.0, 8.0, 15)
+        be = np.linspace(0.5, 8.0, 15)
+        A, B = [x.ravel() for x in np.meshgrid(al, be)]
+        g = gd.geodesic_init_inf(incl, a, A, B)
+        P2 = gd.geodesic_find_midplane_crossing(g, 0)
+        r2 = gd.geodesic_position_rad(g, P2)
+        hit = np.isfinite(np.asarray(r2)) & (np.asarray(g.status) == 0)
+
+        def delays(R_FAR):
+            P1 = gd.geodesic_P_int(g, np.full(len(A), R_FAR), 0)
+            r1 = gd.geodesic_position_rad(g, P1)
+            m1 = gd.geodesic_position_pol(g, P1)
+            dt = gd.geodesic_timedelay_full(
+                g, np.where(hit, np.asarray(P2), 1.0),
+                np.where(hit, np.asarray(r2), 10.0), np.zeros(len(A)),
+                P1, r1, m1)
+            dt = np.asarray(dt) + (A ** 2 + B ** 2) / (2.0 * R_FAR)
+            return dt - dt[hit].min()
+
+        d1 = delays(1e4)
+        d2 = delays(4e4)
+        span = d1[hit].max() - d1[hit].min()
+        assert span > 1.0
+        assert np.abs(d1[hit] - d2[hit]).max() < 1e-3 * span

@@ -135,8 +135,10 @@ class TestMathHelpers:
 
     def test_sim5round(self):
         from sim5_tpu.utils import sim5round
-        vals = np.array([0.4, 0.5, 1.5, -0.4, -0.5, -1.5, 2.0])
-        want = np.array([0, 1, 2, 0, -1, -2, 2])
+        # reference semantics: (long)(num + 0.5) — truncation toward zero
+        # (sim5math.c:16), so -0.5 -> 0, -1.5 -> -1, -1.2 -> 0.
+        vals = np.array([0.4, 0.5, 1.5, -0.4, -0.5, -1.5, -1.2, 2.0])
+        want = np.array([0, 1, 2, 0, 0, -1, 0, 2])
         np.testing.assert_array_equal(np.asarray(sim5round(vals)), want)
 
 
