@@ -1,4 +1,4 @@
 """Resumable spectral tables and grid-generation drivers."""
 
 from .spectable import SpectralTable
-from .generate import generate_disk_table
+from .generate import generate_disk_table, merge_shards, shard_path

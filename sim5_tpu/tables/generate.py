@@ -2,10 +2,22 @@
 
 Sweeps a (spin, mdot, inclination) grid, raytraces the disk spectrum for
 each grid point with the batched `DiskRaytrace` driver, and stores rows in
-a resumable `SpectralTable`.  Multi-host: each process computes the rows
-whose index is congruent to its process id (simple static row sharding --
-rays inside one row already shard over the local mesh).
+a resumable `SpectralTable`.
+
+Multi-host: each process computes the rows whose index is congruent to its
+process id (static row sharding -- rays inside one row already shard over
+the local mesh) and persists them to its OWN shard file
+(``<path>.shardKofN.npz``), so concurrent processes never write the same
+file; `merge_shards` combines the shards into the final table once all
+processes finish (or to inspect partial progress).  This keeps the
+reference's resume semantics (python/sim5fitstable.py:105-140) -- a
+restarted process reopens its shard and skips rows already computed --
+without the last-writer-wins clobbering a shared file would have.
 """
+
+import glob
+import os
+import re
 
 import numpy as np
 
@@ -14,28 +26,73 @@ from ..disk import ThinDisk
 from ..render import DiskRaytrace, DiskSpectrum_BlackBody
 
 
+def shard_path(path, process_id, num_processes):
+    """Per-process table filename; the unsharded path for a single process."""
+    if num_processes <= 1:
+        return path
+    base = path[:-4] if path.endswith(".npz") else path
+    return f"{base}.shard{process_id}of{num_processes}.npz"
+
+
+def merge_shards(path, params, energies, meta=None, num_processes=None,
+                 cleanup=False):
+    """Combine per-process shard tables into the final table at `path`.
+
+    Takes every computed (all-finite) row from each shard; row ownership is
+    disjoint by construction (index mod num_processes), so no row can be
+    written by two shards.  Returns the merged SpectralTable (saved).
+    With num_processes=None, shards are discovered by filename glob.
+    """
+    base = path[:-4] if path.endswith(".npz") else path
+    if num_processes is None:
+        pat = re.compile(re.escape(os.path.basename(base))
+                         + r"\.shard(\d+)of(\d+)\.npz$")
+        shards = [p for p in sorted(glob.glob(base + ".shard*of*.npz"))
+                  if pat.match(os.path.basename(p))]
+    else:
+        shards = [shard_path(path, pid, num_processes)
+                  for pid in range(num_processes)]
+    merged = SpectralTable.create(path, params, energies, meta=meta)
+    for sp in shards:
+        if not os.path.exists(sp):
+            continue
+        t = SpectralTable.open(sp)
+        done = np.isfinite(t.spectra).all(axis=1)
+        merged.spectra[done] = t.spectra[done]
+    merged.save()
+    if cleanup:
+        for sp in shards:
+            if os.path.exists(sp):
+                os.remove(sp)
+    return merged
+
+
 def generate_disk_table(path, spins, mdots, incls, energies,
                         bh_mass=10.0, bh_dist=10.0, radres=0.3, angres=30.0,
                         process_id=0, num_processes=1, flush_every=1,
-                        verbose=False):
+                        merge=True, verbose=False):
     """Generate (or resume) a table of observed disk spectra.
 
     Grid axes: spin, mdot, incl [deg]; spectra on `energies` [keV].
-    Returns the SpectralTable.
+    With num_processes > 1 this process computes and persists only its own
+    row subset (see module docstring); pass merge=True (default) to have
+    process 0 merge all shards present on its filesystem at the end --
+    callers on disjoint filesystems should instead merge offline with
+    `merge_shards` after collecting the shard files.  Returns this
+    process's SpectralTable (the merged table on the merging process).
     """
+    params = [("spin", spins), ("mdot", mdots), ("incl", incls)]
+    meta = dict(bh_mass=bh_mass, bh_dist=bh_dist, radres=radres,
+                angres=angres)
     table = SpectralTable.create(
-        path,
-        [("spin", spins), ("mdot", mdots), ("incl", incls)],
-        energies,
-        meta=dict(bh_mass=bh_mass, bh_dist=bh_dist, radres=radres,
-                  angres=angres),
-    )
+        shard_path(path, process_id, num_processes), params, energies,
+        meta=meta)
     n_written = 0
-    for (indices, params) in table.generator():
+    for (indices, rowpars) in table.generator():
         idx = indices[0]
         if idx % num_processes != process_id:
             continue
-        p = params[0]
+        p = rowpars[0]
         disk = ThinDisk.create(bh_mass, float(p["spin"]), float(p["mdot"]))
         rt = DiskRaytrace(bh_mass, float(p["spin"]), bh_dist, disk,
                           DiskSpectrum_BlackBody())
@@ -47,4 +104,7 @@ def generate_disk_table(path, spins, mdots, incls, energies,
             done, total = table.progress
             print(f"[tables] row {idx} done ({done}/{total})")
     table.save()
+    if num_processes > 1 and merge and process_id == 0:
+        return merge_shards(path, params, energies, meta=meta,
+                            num_processes=num_processes)
     return table

@@ -130,20 +130,126 @@ class SpectralTable:
         return int(done), self.n_rows
 
     # -- FITS interop (optional) ----------------------------------------
+    #
+    # The reference stores spectral grids in a FITS file with three HDUs
+    # (python/sim5fitstable.py:61-99): a PrimaryHDU carrying an md5
+    # checksum of the grid definition in header key 'CRC'
+    # (sim5fitstable.py:33-39,66), a 'META' BinTableHDU with columns
+    # NAME/N/GRID holding rows REF_MASS, REF_DIST, ENERGIES, then one row
+    # per parameter grid (:69-88), and a 'SPECTRA' BinTableHDU with one
+    # row per grid point whose first column doubles as the computed-row
+    # marker (>0 == computed, the resume test at :120).  We emit and read
+    # exactly that layout so tables are interchangeable with the
+    # reference tooling.
+
+    @staticmethod
+    def _fits_crc(ref_mass, ref_dist, params, energies):
+        """md5 grid checksum, reproducing sim5fitstable.py:33-39 (the
+        reference hashes the str() of each value; it is python2 code, so
+        here the same strings are utf-8 encoded)."""
+        import hashlib
+        m = hashlib.md5()
+        m.update(str(ref_mass).encode())
+        m.update(str(ref_dist).encode())
+        for name, vals in params:
+            m.update((str(name) + str(np.asarray(vals))).encode())
+        for e in np.asarray(energies):
+            m.update(str(e).encode())
+        return m.hexdigest()
 
     def to_fits(self, path):
-        """Export in the reference's FITS layout (META + SPECTRA HDUs);
-        requires astropy."""
-        from astropy.io import fits
-        cols = [fits.Column(name=n, format="E", array=np.resize(v, self.n_rows))
-                for n, v in self.params]
-        meta_cols = [fits.Column(name=f"grid_{n}", format="E", array=v)
-                     for n, v in self.params]
-        meta_cols.append(fits.Column(name="energy", format="E",
-                                     array=self.energies))
-        hdul = fits.HDUList([
-            fits.PrimaryHDU(),
-            fits.BinTableHDU.from_columns(meta_cols, name="META"),
-            fits.ImageHDU(self.spectra.astype(np.float32), name="SPECTRA"),
+        """Export in the reference's FITS layout (CRC'd Primary + META +
+        SPECTRA HDUs, sim5fitstable.py:61-99), via the in-tree pure-numpy
+        FITS writer (sim5_tpu.utils.fitsio).
+
+        Pending (never-computed) rows are written with a zero marker so a
+        reference-style resume loop (sim5fitstable.py:118-123) skips
+        exactly the computed rows.
+        """
+        from ..utils import fitsio
+        ref_mass = self.meta.get("bh_mass", 0.0)
+        ref_dist = self.meta.get("bh_dist", 0.0)
+        # hash what the file stores (UPPER names, f32 grids) so that the
+        # checksum recomputed on import matches
+        crc = self._fits_crc(
+            np.float32(ref_mass), np.float32(ref_dist),
+            [(n.upper(), v.astype(np.float32)) for n, v in self.params],
+            self.energies.astype(np.float32))
+
+        names = ["REF_MASS", "REF_DIST", "ENERGIES"] + \
+            [n.upper() for n, _ in self.params]
+        grids = [np.float32([ref_mass]), np.float32([ref_dist]),
+                 self.energies.astype(np.float32)] + \
+            [v.astype(np.float32) for _, v in self.params]
+        meta = fitsio.BinTable("META", [
+            fitsio.Column("NAME", "16A", names),
+            fitsio.Column("N", "1J", [len(g) for g in grids]),
+            fitsio.Column("GRID", "1PE", grids),
         ])
-        hdul.writeto(path, overwrite=True)
+
+        ne = len(self.energies)
+        computed = np.isfinite(self.spectra).all(axis=1)
+        marker = computed.astype(np.float32)  # 0 == pending
+        spec32 = np.where(computed[:, None], self.spectra,
+                          0.0).astype(np.float32)
+        spectra = fitsio.BinTable("SPECTRA", [
+            fitsio.Column("mdot", "1E", marker),
+            fitsio.Column("Iv_0", f"{ne}E", spec32),
+            fitsio.Column("Iv_f", f"{ne}E", spec32),
+        ])
+        fitsio.write_fits(path, [meta, spectra], primary_header={"CRC": crc})
+
+    @classmethod
+    def from_fits(cls, fits_path, path=None, spectrum_column="Iv_0",
+                  check_crc=True):
+        """Import a reference-layout FITS table (sim5fitstable.py:46-99).
+
+        Reconstructs the parameter axes and energy grid from the META HDU,
+        verifies the Primary header 'CRC' checksum against the grid
+        definition (the reference's reopen gate, sim5fitstable.py:53), and
+        reads spectra from `spectrum_column` of the SPECTRA HDU.  Rows
+        whose first SPECTRA column is <= 0 are treated as pending (NaN),
+        matching the reference's resume marker (sim5fitstable.py:120), so
+        `generator()` continues a partially computed reference table.
+
+        `path` sets where subsequent save() calls go (defaults to the
+        FITS path with a .npz suffix).
+        """
+        from ..utils import fitsio
+        primary, tables = fitsio.read_fits(fits_path)
+        if "META" not in tables or "SPECTRA" not in tables:
+            raise IOError(f"{fits_path}: missing META/SPECTRA HDUs")
+        meta_hdu, spec_hdu = tables["META"], tables["SPECTRA"]
+        crc = primary.get("CRC")
+
+        ref_mass = ref_dist = 0.0
+        energies = None
+        params = []
+        for name, n, grid in zip(meta_hdu["NAME"], meta_hdu["N"],
+                                 meta_hdu["GRID"]):
+            name, n, grid = str(name), int(n), np.asarray(grid)
+            if name == "REF_MASS":
+                ref_mass = float(grid[0])
+            elif name == "REF_DIST":
+                ref_dist = float(grid[0])
+            elif name == "ENERGIES":
+                energies = np.float64(grid[:n])
+            else:
+                params.append((name.lower(), np.float64(grid[:n])))
+        if energies is None:
+            raise IOError(f"{fits_path}: META HDU has no ENERGIES row")
+        if check_crc and crc is not None:
+            expect = cls._fits_crc(
+                np.float32(ref_mass), np.float32(ref_dist),
+                [(n.upper(), np.float32(v)) for n, v in params],
+                np.float32(energies))
+            if crc != expect:
+                raise IOError(f"{fits_path}: CRC mismatch "
+                              "(grid definition differs)")
+        marker = np.asarray(spec_hdu.columns[0].array, np.float64)
+        spectra = np.asarray(spec_hdu[spectrum_column], np.float64)
+        spectra = np.where(marker[:, None] > 0.0, spectra, np.nan)
+        if path is None:
+            path = os.path.splitext(fits_path)[0] + ".npz"
+        return cls(path, params, energies, spectra,
+                   meta=dict(bh_mass=ref_mass, bh_dist=ref_dist))

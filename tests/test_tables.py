@@ -1,6 +1,7 @@
 """Tests for resumable spectral tables."""
 
 import numpy as np
+import pytest
 
 from sim5_tpu.tables import SpectralTable, generate_disk_table
 
@@ -54,3 +55,120 @@ class TestSpectralTable:
         assert t.progress == (1, 1)
         spec = t.spectra[0]
         assert np.isfinite(spec).all() and spec.max() > 0
+
+    def test_two_process_generation_no_clobber(self, tmp_path):
+        """Two 'processes' (sequential calls, pid 0/1 of 2) write disjoint
+        shard files; the merge yields a complete table identical to a
+        single-process run (the round-1 clobber bug: both processes
+        full-saving the same path lost the other's rows)."""
+        from sim5_tpu.tables import merge_shards, shard_path
+        E = np.geomspace(0.5, 10, 8)
+        spins, mdots, incls = [0.3, 0.7], [0.1], [60.0]
+        kw = dict(radres=2.0, angres=8.0)
+
+        single = generate_disk_table(
+            str(tmp_path / "one.npz"), spins, mdots, incls, E, **kw)
+        assert single.progress == (2, 2)
+
+        path = str(tmp_path / "two.npz")
+        # pid 1 runs first and pid 0 merges after, the worst ordering for
+        # the old shared-file design
+        t1 = generate_disk_table(path, spins, mdots, incls, E,
+                                 process_id=1, num_processes=2, **kw)
+        assert t1.progress == (1, 2)  # only its own row
+        merged = generate_disk_table(path, spins, mdots, incls, E,
+                                     process_id=0, num_processes=2, **kw)
+        assert merged.path == path and merged.progress == (2, 2)
+        np.testing.assert_allclose(merged.spectra, single.spectra,
+                                   rtol=1e-12)
+        # shards are separate files, both still on disk and disjoint
+        s0 = SpectralTable.open(shard_path(path, 0, 2))
+        s1 = SpectralTable.open(shard_path(path, 1, 2))
+        done0 = np.isfinite(s0.spectra).all(1)
+        done1 = np.isfinite(s1.spectra).all(1)
+        assert not (done0 & done1).any() and (done0 | done1).all()
+        # merge is idempotent / re-runnable
+        again = merge_shards(path, [("spin", spins), ("mdot", mdots),
+                                    ("incl", incls)], E, num_processes=2)
+        np.testing.assert_allclose(again.spectra, single.spectra, rtol=1e-12)
+
+
+class TestFitsIO:
+    """Unit tests of the pure-numpy FITS layer (utils/fitsio.py)."""
+
+    def test_bintable_round_trip(self, tmp_path):
+        from sim5_tpu.utils import fitsio
+        path = str(tmp_path / "x.fits")
+        t = fitsio.BinTable("T1", [
+            fitsio.Column("NAME", "8A", ["abc", "de"]),
+            fitsio.Column("IDX", "1J", [3, -7]),
+            fitsio.Column("VEC", "4E", np.arange(8.0).reshape(2, 4)),
+            fitsio.Column("BIG", "2D", [[1e-300, np.pi], [2.5, -1e222]]),
+            fitsio.Column("VAR", "1PE", [np.float32([1, 2, 3]),
+                                         np.float32([9.5])]),
+        ])
+        fitsio.write_fits(path, [t], primary_header={"CRC": "deadbeef",
+                                                     "NITER": 42})
+        # file is block-aligned per the standard
+        import os
+        assert os.path.getsize(path) % 2880 == 0
+        primary, tables = fitsio.read_fits(path)
+        assert primary["CRC"] == "deadbeef" and primary["NITER"] == 42
+        r = tables["T1"]
+        assert list(r["NAME"]) == ["abc", "de"]
+        assert list(r["IDX"]) == [3, -7]
+        np.testing.assert_array_equal(r["VEC"],
+                                      np.arange(8.0).reshape(2, 4))
+        np.testing.assert_array_equal(
+            r["BIG"], [[1e-300, np.pi], [2.5, -1e222]])
+        np.testing.assert_array_equal(r["VAR"][0], [1, 2, 3])
+        np.testing.assert_array_equal(r["VAR"][1], [9.5])
+
+
+class TestFitsInterop:
+    def test_fits_round_trip(self, tmp_path):
+        """export -> import preserves grids, spectra, pending rows, and the
+        CRC gate (reference layout: python/sim5fitstable.py:61-99)."""
+        E = np.geomspace(0.1, 10, 16)
+        t = SpectralTable.create(
+            str(tmp_path / "t.npz"),
+            [("spin", [0.0, 0.5]), ("incl", [30.0, 60.0, 80.0])], E,
+            meta=dict(bh_mass=10.0, bh_dist=10.0))
+        t.write(0, np.linspace(1, 2, 16))
+        t.write(4, np.linspace(3, 4, 16))
+        fp = str(tmp_path / "t.fits")
+        t.to_fits(fp)
+
+        r = SpectralTable.from_fits(fp)
+        assert [n for n, _ in r.params] == ["spin", "incl"]
+        np.testing.assert_allclose(r.params[0][1], [0.0, 0.5], atol=1e-7)
+        np.testing.assert_allclose(r.energies, E, rtol=1e-6)
+        assert r.meta["bh_mass"] == 10.0
+        # computed rows round-trip (f32 storage), pending rows stay pending
+        assert r.progress == (2, 6)
+        np.testing.assert_allclose(r.spectra[0], t.spectra[0], rtol=1e-6)
+        np.testing.assert_allclose(r.spectra[4], t.spectra[4], rtol=1e-6)
+        pending = [i for chunk, _ in r.generator() for i in chunk]
+        assert pending == [1, 2, 3, 5]
+
+    def test_fits_crc_gate(self, tmp_path):
+        """A table whose grid was tampered with fails the CRC check, like
+        the reference's reopen gate (sim5fitstable.py:53)."""
+        from sim5_tpu.utils import fitsio
+        E = np.linspace(1, 2, 4)
+        t = SpectralTable.create(str(tmp_path / "t.npz"),
+                                 [("spin", [0.0, 0.9])], E,
+                                 meta=dict(bh_mass=10.0, bh_dist=10.0))
+        fp = str(tmp_path / "t.fits")
+        t.to_fits(fp)
+        # rewrite the file with a tampered spin grid but the original CRC
+        primary, tables = fitsio.read_fits(fp)
+        grids = tables["META"]["GRID"]
+        grids[-1] = np.float32([0.1, 0.9])
+        fitsio.write_fits(fp, [tables["META"], tables["SPECTRA"]],
+                          primary_header={"CRC": primary["CRC"]})
+        with pytest.raises(IOError):
+            SpectralTable.from_fits(fp)
+        # but loads with the gate disabled
+        r = SpectralTable.from_fits(fp, check_crc=False)
+        np.testing.assert_allclose(r.params[0][1], [0.1, 0.9], atol=1e-7)
