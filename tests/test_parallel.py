@@ -62,3 +62,16 @@ class TestFitStep:
         imf8, _ = render_disk_image_sharded(mesh, 10.0, 0.9, 0.1, 0.1, 1.0,
                                             npix_x=64, npix_y=64)
         assert np.isfinite(np.asarray(imf8)).all()
+
+    def test_scaling_harness_runs_on_mesh(self, mesh):
+        # the bench_scaling.py measurement path itself (sharded sweep with
+        # per-frame reductions) executes on the 8-device mesh and returns
+        # a sane rate; the driver-facing script reuses exactly this code
+        import sys
+        sys.path.insert(0, str(__import__("pathlib").Path(
+            __file__).parent.parent))
+        from bench_scaling import _sweep_rays_per_sec
+        import jax
+        with jax.enable_x64(False):
+            rate = _sweep_rays_per_sec(mesh, sweep=2, reps=1, npix=64)
+        assert np.isfinite(rate) and rate > 0
