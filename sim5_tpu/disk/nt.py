@@ -91,10 +91,13 @@ def nt_flux(disk: NTDisk, r):
     x1 = 2.0 * jnp.cos(ac / 3.0 - jnp.pi / 3.0)
     x2 = 2.0 * jnp.cos(ac / 3.0 + jnp.pi / 3.0)
     x3 = -2.0 * jnp.cos(ac / 3.0)
-    f0 = x - x0 - 1.5 * a * jnp.log(x / x0)
-    f1 = 3.0 * (x1 - a) ** 2 / (x1 * (x1 - x2) * (x1 - x3)) * jnp.log((x - x1) / (x0 - x1))
-    f2 = 3.0 * (x2 - a) ** 2 / (x2 * (x2 - x1) * (x2 - x3)) * jnp.log((x - x2) / (x0 - x2))
-    f3 = 3.0 * (x3 - a) ** 2 / (x3 * (x3 - x1) * (x3 - x2)) * jnp.log((x - x3) / (x0 - x3))
+    # log_accurate: XLA's f32 TPU log (~1e-4 rel. err) would dominate the
+    # whole fast-path error budget here (utils/fastmath.py); exact in f64
+    from ..utils.fastmath import log_accurate
+    f0 = x - x0 - 1.5 * a * log_accurate(x / x0)
+    f1 = 3.0 * (x1 - a) ** 2 / (x1 * (x1 - x2) * (x1 - x3)) * log_accurate((x - x1) / (x0 - x1))
+    f2 = 3.0 * (x2 - a) ** 2 / (x2 * (x2 - x1) * (x2 - x3)) * log_accurate((x - x2) / (x0 - x2))
+    f3 = 3.0 * (x3 - a) ** 2 / (x3 * (x3 - x1) * (x3 - x2)) * log_accurate((x - x3) / (x0 - x3))
     F = 1.0 / (4.0 * jnp.pi * rs) * 1.5 / (x * x * (x ** 3 - 3.0 * x + 2.0 * a)) \
         * (f0 - f1 - f2 - f3)
     # normalization: F ~ mdot/m * 9.1721376255e+28 erg/cm2/s (sim5disk-nt.c:137-145)

@@ -58,6 +58,27 @@ def _theta_inv(g: Geodesic, x):
     return jnp.sqrt(g.m2p) * jacobi_sncndn(x / g.mK, g.mm)[1]
 
 
+def _theta_pol_vortical(g: Geodesic, P):
+    """m(P) and sign(dm/dP) for vortical rays (q < 0), which oscillate in
+    one hemisphere between sqrt(-m2m) and sqrt(m2p) without crossing the
+    equator.  The oscillation is a Jacobi dn, not cn (BF 213.00: for
+    b <= y <= a, y = a*dn(u | k^2) with k^2 = (a^2-b^2)/a^2, here
+    k^2 = (m2p+m2m)/m2p = g.mm exactly as _T_roots stores it); the
+    reference's cn-form theta_inv macro is wrong for q < 0 but is never
+    exercised there (its driver only renders equator-crossing rays).
+    dn is even and 2K-periodic, so no oscillation folding is needed.
+    Validated against the stepwise integrator (tests/test_geodesic.py).
+    """
+    sign0 = jnp.where(g.beta >= 0.0, 1.0, -1.0)
+    hemi = jnp.where(g.cos_i >= 0.0, 1.0, -1.0)
+    u = (P - sign0 * g.Tip) / g.mK
+    sn, cn, dn = jacobi_sncndn(u, g.mm)
+    m = hemi * jnp.sqrt(g.m2p) * dn
+    # dm/dP = hemi*sqrt(m2p) * dn'(u)/mK,  dn' = -mm*sn*cn
+    dm_sign = -hemi * jnp.sign(sn * cn)
+    return m, dm_sign
+
+
 # ---------------------------------------------------------------------------
 # root finding & classification
 # ---------------------------------------------------------------------------
@@ -128,7 +149,16 @@ def _R_roots(a, l, q, r0):
     g1den = jnp.maximum((A_cc + B_cc) ** 2 - 4.0 * a1 * a1, 1e-30)
     g1 = jnp.sqrt(g1num / g1den)
     mm_cc = 4.0 * A_cc * B_cc / (A_cc + B_cc) ** 2
-    Rpc_cc = 2.0 / (A_cc + B_cc) * jacobi_itn(-1.0 / g1, mm_cc)
+    # total integral infinity -> rp.  The tangent half-map z(r) of BF
+    # 260.00 crosses its pole (z = +-inf, u = K) at r* = a1/g1 + b1; the
+    # full integral continues PAST the pole, so u(infinity) = 2K - itn(1/g1)
+    # -- NOT itn(1/g1) as the reference has it (sim5kerr-geod.c:1060-1067
+    # with an even jacobi_itn, sim5elliptic.c:522-528): the reference's CC
+    # value is wrong for every radius above r* (it never uses the branch;
+    # its r(P) for CC is NaN).  Validated against direct quadrature of
+    # 1/sqrt(R) in tests/test_geodesic.py.
+    Rpc_cc = 2.0 / (A_cc + B_cc) * (
+        2.0 * elliptic_k(mm_cc) - jacobi_itn(1.0 / g1, mm_cc))
 
     rp = jnp.where(is4, jnp.where(inner, r2, r1),
                    jnp.where(is2, t1, b1 - a1 * g1))
@@ -240,6 +270,16 @@ def geodesic_init_inf(i, a, alpha, beta):
     eps = jnp.clip(eps, 1e-300, 1.0)
     Tip = mK * jnp.sqrt(eps) * rf(1.0 - eps, 1.0 - mm * eps,
                                   jnp.ones_like(eps))
+    # vortical (q < 0) rays: Tip is the dn-form integral
+    # mK * idn(cos_i/sqrt(m2p), mm) with idn(y) = isn(sqrt((1-y^2)/mm))
+    # (see _theta_pol_vortical); reuses the cancellation-free eps = 1-y^2
+    # upper clamp strictly below 1: at sn2v == 1 the rf gradient diverges
+    # (dRF/dx ~ RD(..., x->0)), which would NaN-poison the q > 0 pixels
+    # through the where below even though their value branch is untaken
+    sn2v = jnp.clip(eps / jnp.maximum(mm, 1e-300), 0.0, 1.0 - 1e-12)
+    Tip_v = mK * jnp.sqrt(sn2v) * rf(1.0 - sn2v, 1.0 - mm * sn2v,
+                                     jnp.ones_like(sn2v))
+    Tip = jnp.where(q < 0.0, Tip_v, Tip)
     return g._replace(Tpp=Tpp, Tip=Tip)
 
 
@@ -347,7 +387,13 @@ def geodesic_P_int(g: Geodesic, r, ppc):
     mm_cc = 4.0 * A_cc * B_cc / (A_cc + B_cc) ** 2
     rs_cc = jnp.where(is_cc, r, 10.0)
     z_cc = (rs_cc - b1 + a1 * g1) / (a1 + b1 * g1 - g1 * rs_cc)
-    R_cc = 2.0 / (A_cc + B_cc) * jacobi_itn(z_cc, mm_cc)
+    # monotone continuation past the z-pole at r* = a1/g1 + b1 (u = K):
+    # u(r) = itn(z) on the near side (z >= 0), 2K - itn(|z|) beyond -- the
+    # reference's even itn folds the integral back there (see _R_roots).
+    # Every physical radius (r > r_horizon > r*) is on the far branch.
+    u_cc = jnp.where(z_cc >= 0.0, jacobi_itn(z_cc, mm_cc),
+                     2.0 * elliptic_k(mm_cc) - jacobi_itn(-z_cc, mm_cc))
+    R_cc = 2.0 / (A_cc + B_cc) * u_cc
 
     ppc_f = jnp.asarray(ppc, jnp.float64)
     P = jnp.where(is_rr, g.Rpc + jnp.where(ppc_f > 0, R_rr, -R_rr),
@@ -355,31 +401,53 @@ def geodesic_P_int(g: Geodesic, r, ppc):
         jnp.where(is_rc, g.Rpc - R_rc,
         jnp.where(is_cc, g.Rpc - R_cc, jnp.nan))))
     P = jnp.where(g.gtype == GEOD_TYPE_RR_DBL, jnp.nan, P)
-    P = jnp.where(r < g.rp, jnp.nan, P)
+    # domain gate: from-infinity types live at r >= rp (periastron); the
+    # bound RR_BH band lives at r3 <= r <= r2 = rp (apastron), so the gate
+    # inverts there (the reference NaNs RR_BH entirely, sim5kerr-geod.c:322)
+    r3_bh = g.rr[..., 2]
+    P = jnp.where(jnp.where(is_bh, (r > g.rp) | (r < r3_bh), r < g.rp),
+                  jnp.nan, P)
     P = jnp.where(r == g.rp, g.Rpc, P)
     return P
 
 
 def geodesic_position_rad(g: Geodesic, P):
-    """Radius r(P); NaN outside the valid range (as in the reference).
+    """Radius r(P); NaN outside the valid range.
 
-    (reference: geodesic_position_rad, sim5kerr-geod.c:290-357;
-     RR_DBL/RR_BH/CC are unimplemented there and give NaN)
+    (reference: geodesic_position_rad, sim5kerr-geod.c:290-357.  The
+    reference leaves RR_BH and CC unimplemented (NaN, :322-352); both are
+    inverted here in closed form -- RR_BH by the same sn^2 rational map
+    evaluated on the inner root band [r3, r2] (Bursa 2017 eq. 43 applied
+    to the bound branch; arguments as in geodesic_P_int's RR_BH case,
+    exact inverse of P = Rpc +- c*isn(arg_bh)), and CC by inverting the
+    tangent half-map z(r) of B&F 260.00 used by P_int.  RR_BH orbits are
+    radially periodic (bound between r3 and r2), so P is folded mod 2*Rpc
+    instead of NaN-gated; validated against the stepwise integrator in
+    tests/test_geodesic.py)
     """
     P = jnp.asarray(P, jnp.float64)
     is_rr = g.gtype == GEOD_TYPE_RR
+    is_bh = g.gtype == GEOD_TYPE_RR_BH
     is_rc = g.gtype == GEOD_TYPE_RC
+    is_cc = g.gtype == GEOD_TYPE_CC
+    is4 = is_rr | is_bh
 
-    # sanitize invalid P to mid-range: P->0 maps to r->infinity where the
-    # inversion denominators vanish (infinite d r/d P would NaN-poison
-    # reverse-mode gradients of masked pixels)
-    P_valid = jnp.isfinite(P) & (P > 0.0) & (P < 2.0 * g.Rpc)
-    Ps = jnp.where(P_valid, P, 0.5 * g.Rpc)
+    # sanitize NaN P before any arithmetic (a NaN in an untaken where
+    # branch would poison reverse-mode gradients of masked pixels)
+    Pz = jnp.where(jnp.isfinite(P), P, 0.5 * g.Rpc)
+    # RR_BH: bound orbits oscillate r3 -> r2 -> r3 with radial period
+    # 2*Rpc; folding P is exact (the other types keep the reference gate)
+    Pf = jnp.where(is_bh, Pz - 2.0 * g.Rpc * jnp.floor(Pz / (2.0 * g.Rpc)),
+                   Pz)
+    # invalid P to mid-range: P->0 maps to r->infinity where the
+    # inversion denominators vanish (infinite d r/d P, same NaN hazard)
+    P_valid = jnp.isfinite(P) & (Pf > 0.0) & (Pf < 2.0 * g.Rpc)
+    Ps = jnp.where(P_valid, Pf, 0.5 * g.Rpc)
 
-    r1 = jnp.where(is_rr, g.rr[..., 0], 8.0)
-    r2 = jnp.where(is_rr, g.rr[..., 1], 6.0)
-    r3 = jnp.where(is_rr, g.rr[..., 2], 4.0)
-    r4 = jnp.where(is_rr, g.rr[..., 3], 2.0)
+    r1 = jnp.where(is4, g.rr[..., 0], 8.0)
+    r2 = jnp.where(is4, g.rr[..., 1], 6.0)
+    r3 = jnp.where(is4, g.rr[..., 2], 4.0)
+    r4 = jnp.where(is4, g.rr[..., 3], 2.0)
     m4 = ((r2 - r3) * (r1 - r4)) / ((r2 - r4) * (r1 - r3))
     x4 = 0.5 * jnp.abs(Ps - g.Rpc) * jnp.sqrt((r1 - r3) * (r2 - r4))
 
@@ -391,21 +459,55 @@ def geodesic_position_rad(g: Geodesic, P):
     B = jnp.sqrt((t2 - tu) ** 2 + tv ** 2)
     m2 = ((A + B) ** 2 - (t1 - t2) ** 2) / (4.0 * A * B)
     # RC valid domain is 0 < P < Rpc only (no turning point)
-    Ps_rc = jnp.where(P_valid & (P < g.Rpc), Ps, 0.5 * g.Rpc)
+    Ps_rc = jnp.where(P_valid & (Pf < g.Rpc), Ps, 0.5 * g.Rpc)
 
-    # one AGM evaluation serves both branches (RR takes sn, RC takes cn):
-    # the per-type arguments are mask-selected before the call
-    u_j = jnp.where(is_rr, x4, jnp.sqrt(A * B) * (g.Rpc - Ps_rc))
-    m_j = jnp.where(is_rr, m4, m2)
+    # CC: no real roots; domain 0 < P <= Rpc (monotone plunge).  Invert
+    # z = tn(u | mm_cc) of P_int's half-map (g1, A_cc, B_cc as there)
+    b1 = jnp.where(is_cc, g.rr[..., 0], 0.0)
+    a1 = jnp.where(is_cc, jnp.abs(g.ri[..., 0]), 1.0)
+    b2 = jnp.where(is_cc, g.rr[..., 2], 1.0)
+    a2_ = jnp.where(is_cc, jnp.abs(g.ri[..., 2]), 2.0)
+    A_cc = jnp.sqrt((b1 - b2) ** 2 + (a1 + a2_) ** 2)
+    B_cc = jnp.sqrt((b1 - b2) ** 2 + (a1 - a2_) ** 2)
+    g1num = jnp.maximum(4.0 * a1 * a1 - (A_cc - B_cc) ** 2, 1e-30)
+    g1den = jnp.maximum((A_cc + B_cc) ** 2 - 4.0 * a1 * a1, 1e-30)
+    g1 = jnp.sqrt(g1num / g1den)
+    mm_cc = 4.0 * A_cc * B_cc / (A_cc + B_cc) ** 2
+    Ps_cc = jnp.where(P_valid & (Pf <= g.Rpc), Ps, 0.5 * g.Rpc)
+
+    # one AGM evaluation serves all branches (RR/RR_BH take sn, RC takes
+    # cn, CC takes sn/cn): per-type arguments are mask-selected first
+    u_j = jnp.where(is4, x4,
+                    jnp.where(is_cc, 0.5 * (A_cc + B_cc) * (g.Rpc - Ps_cc),
+                              jnp.sqrt(A * B) * (g.Rpc - Ps_rc)))
+    m_j = jnp.where(is4, m4, jnp.where(is_cc, mm_cc, m2))
     sn_j, cn, _dn = jacobi_sncndn(u_j, m_j)
     sn2 = sn_j ** 2
     r_rr = (r1 * (r2 - r4) - r2 * (r1 - r4) * sn2) / (r2 - r4 - (r1 - r4) * sn2)
+    # RR_BH: sn^2 interpolates r2 (P=Rpc) -> r3 (P=0 or 2Rpc) on the
+    # inner band:  w = sn^2 (r2-r3)/(r1-r3);  r = (r2 - w r1)/(1 - w)
+    w_bh = sn2 * (r2 - r3) / (r1 - r3)
+    r_bh_ = (r2 - w_bh * r1) / (1.0 - w_bh)
     r_rc = (t2 * A - t1 * B - (t2 * A + t1 * B) * cn) / ((A - B) - (A + B) * cn)
-    r_rc = jnp.where(P > g.Rpc, jnp.nan, r_rc)   # RC has no turning point
+    r_rc = jnp.where(Pf > g.Rpc, jnp.nan, r_rc)   # RC has no turning point
+    # CC: r = (z (a1 + b1 g1) + b1 - a1 g1) / (1 + g1 z),  z = sn/cn.
+    # cn is mask-selected to 0.5 on non-CC lanes: their sn can hit 1 /
+    # cn -> 0, and the resulting inf in this (untaken) branch would
+    # NaN-poison reverse-mode gradients of the taken one
+    cn_cc = jnp.where(is_cc, cn, 0.5)
+    z_cc = sn_j / jnp.where(jnp.abs(cn_cc) > 1e-30,
+                            cn_cc, jnp.where(cn_cc >= 0, 1e-30, -1e-30))
+    r_cc = ((z_cc * (a1 + b1 * g1) + b1 - a1 * g1)
+            / (1.0 + g1 * z_cc))
+    r_cc = jnp.where(Pf > g.Rpc, jnp.nan, r_cc)   # CC has no turning point
 
-    r = jnp.where(is_rr, r_rr, jnp.where(is_rc, r_rc, jnp.nan))
-    r = jnp.where((P <= 0.0) | (P >= 2.0 * g.Rpc) | ~jnp.isfinite(P), jnp.nan, r)
-    r = jnp.where(P == g.Rpc, g.rp, r)
+    r = jnp.where(is_rr, r_rr,
+        jnp.where(is_bh, r_bh_,
+        jnp.where(is_rc, r_rc,
+        jnp.where(is_cc, r_cc, jnp.nan))))
+    r = jnp.where((Pf <= 0.0) | (Pf >= 2.0 * g.Rpc) | ~jnp.isfinite(P),
+                  jnp.nan, r)
+    r = jnp.where(Pf == g.Rpc, g.rp, r)
     return r
 
 
@@ -425,19 +527,29 @@ def _fold_pol(g: Geodesic, P):
 
 
 def geodesic_position_pol(g: Geodesic, P):
-    """Poloidal coordinate m(P) = cos(theta).  (sim5kerr-geod.c:362-407)"""
+    """Poloidal coordinate m(P) = cos(theta).  (sim5kerr-geod.c:362-407;
+    vortical q < 0 rays use the dn-form beyond the reference, see
+    _theta_pol_vortical)"""
     P = jnp.asarray(P, jnp.float64)
-    sign_dm, dT = _fold_pol(g, jnp.where(jnp.isfinite(P), P, 0.0))
+    Pz = jnp.where(jnp.isfinite(P), P, 0.0)
+    sign_dm, dT = _fold_pol(g, Pz)
     m = -sign_dm * _theta_inv(g, dT)
-    live = (g.gtype == GEOD_TYPE_RR) | (g.gtype == GEOD_TYPE_RC) | (g.gtype == GEOD_TYPE_CC)
+    m_v, _ = _theta_pol_vortical(g, Pz)
+    m = jnp.where(g.q < 0.0, m_v, m)
+    live = ((g.gtype == GEOD_TYPE_RR) | (g.gtype == GEOD_TYPE_RC)
+            | (g.gtype == GEOD_TYPE_CC) | (g.gtype == GEOD_TYPE_RR_BH))
     return jnp.where(live & jnp.isfinite(P), m, jnp.nan)
 
 
 def geodesic_dm_sign(g: Geodesic, P):
     """Sign of d(m)/d(P) at position P.  (sim5kerr-geod.c:736-781)"""
     P = jnp.asarray(P, jnp.float64)
-    sign_dm, _ = _fold_pol(g, jnp.where(jnp.isfinite(P), P, 0.0))
-    live = (g.gtype == GEOD_TYPE_RR) | (g.gtype == GEOD_TYPE_RC) | (g.gtype == GEOD_TYPE_CC)
+    Pz = jnp.where(jnp.isfinite(P), P, 0.0)
+    sign_dm, _ = _fold_pol(g, Pz)
+    _, sign_v = _theta_pol_vortical(g, Pz)
+    sign_dm = jnp.where(g.q < 0.0, sign_v, sign_dm)
+    live = ((g.gtype == GEOD_TYPE_RR) | (g.gtype == GEOD_TYPE_RC)
+            | (g.gtype == GEOD_TYPE_CC) | (g.gtype == GEOD_TYPE_RR_BH))
     return jnp.where(live & jnp.isfinite(P), sign_dm, jnp.nan)
 
 
@@ -658,11 +770,19 @@ def geodesic_momentum(g: Geodesic, P, r=None, m=None):
     if m is None:
         m = geodesic_position_pol(g, P)
     dm = geodesic_dm_sign(g, P)
-    rsign = jnp.where(P < g.Rpc, -1.0, 1.0)
+    is_bh = g.gtype == GEOD_TYPE_RR_BH
+    # RR_BH is radially periodic (see geodesic_position_rad) and runs
+    # OUTWARD (r3 -> apastron r2) on the first half-period -- the opposite
+    # sign convention to the from-infinity types
+    Pz = jnp.where(jnp.isfinite(P), P, 0.0)
+    Pf = jnp.where(is_bh, Pz - 2.0 * g.Rpc * jnp.floor(Pz / (2.0 * g.Rpc)),
+                   Pz)
+    rsign = jnp.where(Pf < g.Rpc, -1.0, 1.0) * jnp.where(is_bh, -1.0, 1.0)
     k = photon_momentum(g.a, jnp.where(jnp.isfinite(r), r, 10.0),
                         jnp.where(jnp.isfinite(m), m, 0.0),
                         g.l, g.q, rsign, jnp.where(jnp.isfinite(dm), dm, 1.0))
-    live = (g.gtype == GEOD_TYPE_RR) | (g.gtype == GEOD_TYPE_RC) | (g.gtype == GEOD_TYPE_CC)
+    live = ((g.gtype == GEOD_TYPE_RR) | (g.gtype == GEOD_TYPE_RC)
+            | (g.gtype == GEOD_TYPE_CC) | is_bh)
     bad = ~live | ~jnp.isfinite(r) | ~jnp.isfinite(m)
     return jnp.where(bad[..., None], jnp.nan, k)
 

@@ -92,14 +92,23 @@ class TestInit:
     def test_rp_Rpc_T(self, init_ok):
         recs, arr, g = init_ok
         same_type = np.asarray(g.gtype) == arr[:, 9]
+        # intentional deviations from the reference, excluded from parity:
+        # * q<0 (vortical) Tip uses the dn-form integral -- the reference's
+        #   cn-form is wrong there, proven against the stepwise integrator
+        #   (TestBeyondReferenceInversions::test_cc_vortical_matches_stepwise)
+        # * CC-type Rpc: the reference folds the tangent map at its pole
+        #   and is wrong for every radius above r* (validated vs direct
+        #   quadrature in test_cc_P_int_matches_quadrature)
+        qpos = same_type & (arr[:, 7] > 0)
+        not_cc = qpos & (arr[:, 9] != gd.GEOD_TYPE_CC)
         np.testing.assert_allclose(np.asarray(g.rp)[same_type], arr[same_type, 22],
                                    rtol=1e-6, atol=1e-9)
-        np.testing.assert_allclose(np.asarray(g.Rpc)[same_type], arr[same_type, 23],
+        np.testing.assert_allclose(np.asarray(g.Rpc)[not_cc], arr[not_cc, 23],
                                    rtol=1e-6, atol=1e-9)
         np.testing.assert_allclose(np.asarray(g.Tpp)[same_type], arr[same_type, 24],
                                    rtol=1e-6, atol=1e-9)
         tip = np.asarray([r["tip"] for r in recs])
-        np.testing.assert_allclose(np.asarray(g.Tip)[same_type], tip[same_type],
+        np.testing.assert_allclose(np.asarray(g.Tip)[qpos], tip[qpos],
                                    rtol=1e-6, atol=1e-9)
 
 
@@ -136,10 +145,14 @@ class TestPositions:
         gsub = jax.tree.map(take, g)
         r = np.asarray(gd.geodesic_position_rad(gsub, Ps))
         m = np.asarray(gd.geodesic_position_pol(gsub, Ps))
+        # vortical (q<0) samples deviate intentionally: the reference's
+        # cn-form m(P) is wrong for q<0 (proven vs the stepwise engine,
+        # TestBeyondReferenceInversions); the dn-form here is the fix
+        qpos = np.asarray(gsub.q) > 0
         ok_r = np.isfinite(ref[:, 0]) & np.isfinite(r)
         assert (np.isfinite(ref[:, 0]) == np.isfinite(r)).mean() > 0.98
         np.testing.assert_allclose(r[ok_r], ref[ok_r, 0], rtol=1e-6, atol=1e-8)
-        ok_m = np.isfinite(ref[:, 1]) & np.isfinite(m)
+        ok_m = np.isfinite(ref[:, 1]) & np.isfinite(m) & qpos
         np.testing.assert_allclose(m[ok_m], ref[ok_m, 1], rtol=1e-5, atol=1e-7)
         # azimuth
         phi = np.asarray(gd.geodesic_position_azm(gsub, r, m, Ps))
@@ -373,3 +386,142 @@ class TestTimedelayFull:
         span = d1[hit].max() - d1[hit].min()
         assert span > 1.0
         assert np.abs(d1[hit] - d2[hit]).max() < 1e-3 * span
+
+
+class TestBeyondReferenceInversions:
+    """Position inversions for the trajectory types the reference leaves
+    NaN (RR_BH bound-band and CC plunging rays, sim5kerr-geod.c:322-352)
+    plus the dn-form poloidal motion of vortical (q < 0) rays.  No C
+    oracle exists; the oracles are direct quadrature of 1/sqrt(R) and the
+    stepwise integrator."""
+
+    def _march_chunks(self, a, x0, k0, n_chunks=300, per=20,
+                      precision=0.003, r_stop=1.95):
+        """March one ray in chunks, yielding (r, m) samples."""
+        import jax.numpy as jnp
+        from sim5_tpu.march import raytrace_prepare, raytrace
+        st = raytrace_prepare(np.float64(a), x0[None, :], k0[None, :],
+                              precision=precision)
+        out = []
+        for _ in range(n_chunks):
+            st, act = raytrace(st, r_max=100.0, max_steps=per)
+            st = st._replace(steps=jnp.zeros_like(st.steps))
+            rv, mv = float(st.x[0, 1]), float(st.x[0, 2])
+            if not np.isfinite(rv):
+                break
+            out.append((rv, mv))
+            if not bool(act[0]) or rv < r_stop:
+                break
+        return out
+
+    @pytest.fixture(scope="class")
+    def cc_vortical(self):
+        """A CC-type vortical (q < 0) ray from infinity: a=0.5, incl=60deg,
+        alpha=-0.3, beta=0.124375 (found by type scan; q = -0.0245)."""
+        g = gd.geodesic_init_inf(np.radians(60.0), 0.5, -0.3, 0.124375)
+        assert int(g.gtype) == gd.GEOD_TYPE_CC and int(g.status) == 0
+        assert float(g.q) < 0.0
+        return g
+
+    def test_cc_P_int_matches_quadrature(self, cc_vortical):
+        """The corrected CC position integral (monotone continuation past
+        the tangent-map pole; the reference's even itn folds it back and
+        returns negative P) against direct numerical quadrature."""
+        g = cc_vortical
+        a, l, q = 0.5, float(g.l), float(g.q)
+
+        def P_num(r):
+            ts = np.linspace(1e-9, 1 - 1e-9, 200001)
+            rr = r + ts / (1 - ts)
+            R = (rr ** 4 + (a * a - l * l - q) * rr ** 2
+                 + 2 * (q + (l - a) ** 2) * rr - a * a * q)
+            return np.trapezoid(1.0 / np.sqrt(R) / (1 - ts) ** 2, ts)
+
+        for r in (30.0, 8.0, 4.0, 2.0):
+            P = float(gd.geodesic_P_int(g, np.float64(r), 0))
+            assert P > 0.0
+            assert abs(P - P_num(r)) < 1e-6
+
+    def test_cc_position_rad_roundtrip(self, cc_vortical):
+        g = cc_vortical
+        r = np.array([50.0, 20.0, 5.0, 2.5, 2.0])
+        P = gd.geodesic_P_int(g, r, 0)
+        # monotone: deeper radius = larger P
+        assert (np.diff(np.asarray(P)) > 0).all()
+        r2 = np.asarray(gd.geodesic_position_rad(g, P))
+        np.testing.assert_allclose(r2, r, rtol=1e-10)
+
+    @pytest.mark.parametrize("beta", [0.124375, -0.124375])
+    def test_cc_vortical_matches_stepwise(self, beta):
+        """March the same (l, q) ray with the stepwise engine: the
+        analytic r(P) and the dn-form m(P) must track the integrated
+        trajectory (the reference's cn-form theta gives O(3e-2) errors
+        here and its r(P) is NaN)."""
+        import jax.numpy as jnp
+        g = gd.geodesic_init_inf(np.radians(60.0), 0.5, -0.3, beta)
+        assert float(g.q) < 0.0
+        r0 = 30.0
+        P0 = gd.geodesic_P_int(g, np.float64(r0), 0)
+        m0 = gd.geodesic_position_pol(g, P0)
+        k = gd.geodesic_momentum(g, P0)
+        km = k.at[2].set(-k[2])  # analytic k[2] signs dm; march uses theta
+        x0 = jnp.array([0.0, r0, float(m0), 0.0])
+        samples = self._march_chunks(0.5, x0, km)
+        assert len(samples) > 50
+        for rv, mv in samples[::10]:
+            P = gd.geodesic_P_int(g, np.float64(rv), 0)
+            assert abs(float(gd.geodesic_position_rad(g, P)) - rv) < 1e-8
+            assert abs(float(gd.geodesic_position_pol(g, P)) - mv) < 1e-6
+        # vortical: never crosses the equator, bounded by the theta roots
+        ms = np.array([m for _, m in samples])
+        assert (ms > 0).all()
+        lo = np.sqrt(-float(g.m2m)) - 1e-9
+        hi = np.sqrt(float(g.m2p)) + 1e-9
+        assert ((ms >= lo) & (ms <= hi)).all()
+
+    @pytest.fixture(scope="class")
+    def bh_band(self):
+        """An RR_BH bound-band geodesic: spherical-photon-orbit constants
+        at r=2.5 (a=0.9) with q raised by 0.3 to open the band, source
+        point r=1.8 inside it."""
+        from sim5_tpu.core import photon_momentum
+        a, rs, m0 = 0.9, 1.8, 0.1
+        l = (2.5 ** 2 * (3 - 2.5) - a ** 2 * (2.5 + 1)) / (a * (2.5 - 1))
+        q = 2.5 ** 3 * (4 * a ** 2 - 2.5 * (2.5 - 3) ** 2) \
+            / (a ** 2 * (2.5 - 1) ** 2) + 0.3
+        k = photon_momentum(a, rs, m0, l, q, 1.0, 1.0)
+        g = gd.geodesic_init_src(a, np.float64(rs), np.float64(m0), k, 1)
+        assert int(g.gtype) == gd.GEOD_TYPE_RR_BH and int(g.status) == 0
+        return g, a, rs, m0, k
+
+    def test_bh_band_roundtrip_and_periodicity(self, bh_band):
+        g, a, rs, m0, k = bh_band
+        r3, r2 = float(g.rr[2]), float(g.rr[1])
+        Rpc = float(g.Rpc)
+        assert abs(float(g.rp) - r2) < 1e-12  # apastron
+        for frac in (0.1, 0.4, 0.99, 1.3, 1.9):
+            P = frac * Rpc
+            r = float(gd.geodesic_position_rad(g, P))
+            assert r3 - 1e-9 <= r <= r2 + 1e-9
+            P2 = float(gd.geodesic_P_int(g, r, 1.0 if P > Rpc else 0.0))
+            assert abs(P2 - P) < 1e-12
+        # apastron at P = Rpc; symmetric about it; exactly periodic
+        assert abs(float(gd.geodesic_position_rad(g, 0.99 * Rpc))
+                   - float(gd.geodesic_position_rad(g, 1.01 * Rpc))) < 1e-10
+        P = 0.37 * Rpc
+        assert abs(float(gd.geodesic_position_rad(g, P + 2 * Rpc))
+                   - float(gd.geodesic_position_rad(g, P))) < 1e-12
+
+    def test_bh_band_apastron_matches_stepwise(self, bh_band):
+        """The marched trajectory must rise to the analytic apastron r2
+        and then plunge through the horizon."""
+        import jax.numpy as jnp
+        g, a, rs, m0, k = bh_band
+        km = k.at[2].set(-k[2])
+        x0 = jnp.array([0.0, rs, m0, 0.0])
+        samples = self._march_chunks(a, x0, km, n_chunks=150, per=100,
+                                     precision=0.01, r_stop=1.46)
+        rr = np.array([r for r, _ in samples])
+        r2 = float(g.rr[1])
+        assert abs(rr.max() - r2) < 1e-3          # reaches apastron
+        assert rr[-1] < 1.6                        # then plunges

@@ -79,3 +79,38 @@ class TestDistributions:
         assert abs(s.std() - 1.0) < 0.01
         # icdf of median is ~0
         assert abs(float(d.icdf(0.5))) < 1e-3
+
+
+class TestAccurateLog:
+    """utils/fastmath.log_accurate: software f32 log with exact exponent
+    split + atanh series (XLA's TPU f32 log is ~1e-4 relative; this one
+    restores ~2 ulp, which the fast-render accuracy gate relies on)."""
+
+    def test_f32_accuracy_vs_f64(self):
+        import jax
+        from sim5_tpu.utils.fastmath import log_accurate
+        rng = np.random.default_rng(0)
+        y64 = rng.lognormal(0.0, 6.0, 100000)
+        with jax.enable_x64(False):
+            la = np.float64(np.asarray(jax.jit(log_accurate)(
+                jnp.asarray(y64, jnp.float32))))
+        ref = np.log(y64.astype(np.float32).astype(np.float64))
+        rel = np.abs(la - ref) / np.maximum(np.abs(ref), 1e-6)
+        assert rel.max() < 5e-7
+
+    def test_edge_cases(self):
+        import jax
+        from sim5_tpu.utils.fastmath import log_accurate
+        with jax.enable_x64(False):
+            vals = np.asarray(log_accurate(
+                jnp.asarray([0.0, -1.0, np.inf, 1.0], jnp.float32)))
+        assert vals[0] == -np.inf
+        assert np.isnan(vals[1])
+        assert vals[2] == np.inf
+        assert vals[3] == 0.0
+
+    def test_f64_passthrough(self):
+        from sim5_tpu.utils.fastmath import log_accurate
+        y = jnp.asarray([0.5, 3.7, 1e200])
+        np.testing.assert_array_equal(np.asarray(log_accurate(y)),
+                                      np.asarray(jnp.log(y)))
