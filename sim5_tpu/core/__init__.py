@@ -19,7 +19,7 @@ from .tetrads import (
 )
 from .orbits import (
     r_bh, r_ms, r_mb, r_ph, OmegaK, ellK, omega_r, omega_z,
-    Omega_from_ell, ell_from_Omega, gfactorK,
+    Omega_from_ell, ell_from_Omega, gfactorK, keplerian_EL,
 )
 from .photon import (
     photon_momentum, photon_momentum_checked,

@@ -79,3 +79,19 @@ def gfactorK(r, a, l):
     Om = 1.0 / (a + r ** 1.5)
     return (jnp.sqrt(1.0 - 2.0 / r * (1.0 - a * Om) ** 2 - (r * r + a * a) * Om * Om)
             / (1.0 - Om * l))
+
+
+def keplerian_EL(r, a):
+    """Specific energy E and angular momentum L of the prograde circular
+    equatorial orbit at radius r (Bardeen, Press & Teukolsky 1972 eq. 2.12
+    -2.13; the reference exposes only their ratio, ellK, sim5kerr.c:1104).
+
+    Needed separately for the plunging-region flow inside the ISCO, whose
+    E and L are the conserved ISCO values (Cunningham 1975).
+    """
+    sr = jnp.sqrt(r)
+    d = r ** 0.75 * jnp.sqrt(jnp.maximum(r * sr - 3.0 * sr + 2.0 * a,
+                                         1e-30))
+    E = (r * sr - 2.0 * sr + a) / d
+    L = (r * r - 2.0 * a * sr + a * a) / d
+    return E, L

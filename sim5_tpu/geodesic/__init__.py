@@ -16,7 +16,7 @@ from .analytic import (
     geodesic_P_int, geodesic_position_rad, geodesic_position_pol,
     geodesic_position_azm, geodesic_dm_sign, geodesic_position_pol_sign_k_theta,
     geodesic_timedelay, geodesic_timedelay_full,
-    geodesic_find_midplane_crossing,
+    geodesic_find_midplane_crossing, geodesic_is_captured,
     geodesic_momentum, geodesic_follow,
     FOLLOW_STOPPED, FOLLOW_OK, FOLLOW_NOT_CONVERGED,
 )

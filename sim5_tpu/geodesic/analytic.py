@@ -787,6 +787,24 @@ def geodesic_momentum(g: Geodesic, P, r=None, m=None):
     return jnp.where(bad[..., None], jnp.nan, k)
 
 
+def geodesic_is_captured(g: Geodesic):
+    """True where a from-infinity geodesic has no radial turning point
+    outside the horizon -- the photon falls in.  The captured set over the
+    image plane is the black-hole shadow (silhouette).
+
+    Beyond the reference (which classifies types but offers no capture
+    predicate or shadow product): RC/CC rays plunge by construction (no
+    turning point above the horizon, sim5kerr-geod.c:232-260), RR rays
+    are captured iff the periastron sits inside the horizon.  Validated
+    against the exact spherical-photon-orbit shadow boundary in
+    tests/test_geodesic.py::TestShadow.
+    """
+    rh = 1.0 + jnp.sqrt(jnp.maximum(1.0 - g.a ** 2, 0.0))
+    is_rr = g.gtype == GEOD_TYPE_RR
+    plunging = (g.gtype == GEOD_TYPE_RC) | (g.gtype == GEOD_TYPE_CC)
+    return (g.status == GD_OK) & (plunging | (is_rr & (g.rp <= rh)))
+
+
 # geodesic_follow status codes: the reference returns TRUE while the ray
 # remains inside the valid domain, FALSE when it leaves (sim5kerr-geod.c:890).
 # The batched re-design adds a third code for a step that did not fit into

@@ -11,3 +11,4 @@ from .lightcurve import (equatorial_crossing_map, hotspot_lightcurve,
                          volume_image, volume_lightcurve)
 from .lineprofile import disk_g_map, line_profile, transfer_function
 from .spectrum_fit import PolarGrid, make_polar_grid, disk_spectrum
+from .shadow import BHImage, gfactor_plunge, render_bh_image

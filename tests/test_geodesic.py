@@ -525,3 +525,51 @@ class TestBeyondReferenceInversions:
         r2 = float(g.rr[1])
         assert abs(rr.max() - r2) < 1e-3          # reaches apastron
         assert rr[-1] < 1.6                        # then plunges
+
+
+class TestShadow:
+    """geodesic_is_captured vs the exact Bardeen (1973) shadow boundary:
+    spherical-photon-orbit constants xi(rs), eta(rs) map to the image
+    plane as alpha = -xi/sin i, beta^2 = q - cos^2 i (alpha^2 - a^2);
+    points just inside that curve must be captured, just outside escape."""
+
+    @pytest.mark.parametrize("a,inc_deg", [(0.2, 60.0), (0.9, 80.0),
+                                           (0.998, 80.0)])
+    def test_capture_boundary(self, a, inc_deg):
+        inc = np.radians(inc_deg)
+        # exact photon-orbit radius range (Bardeen 1973)
+        r_ph_pro = 2.0 * (1.0 + np.cos(2.0 / 3.0 * np.arccos(-a)))
+        r_ph_ret = 2.0 * (1.0 + np.cos(2.0 / 3.0 * np.arccos(a)))
+        rs = np.linspace(r_ph_ret * 1.0005, r_ph_pro * 0.9995, 400)
+        xi = (rs ** 2 * (3 - rs) - a ** 2 * (rs + 1)) / (a * (rs - 1))
+        eta = rs ** 3 * (4 * a ** 2 - rs * (rs - 3) ** 2) \
+            / (a ** 2 * (rs - 1) ** 2)
+        alpha = -xi / np.sin(inc)
+        beta2 = eta + np.cos(inc) ** 2 * (a ** 2 - alpha ** 2) \
+            + (1 - np.cos(inc) ** 2) * 0.0
+        # beta^2 = q - cos^2 i (alpha^2 - a^2) with q = eta:
+        beta2 = eta - np.cos(inc) ** 2 * (alpha ** 2 - a ** 2)
+        keep = beta2 > 0.05
+        alpha, beta = alpha[keep], np.sqrt(beta2[keep])
+        assert keep.sum() > 100
+        for eps, want in ((1 - 2e-4, True), (1 + 2e-4, False)):
+            g = gd.geodesic_init_inf(inc, a, eps * alpha, eps * beta)
+            cap = np.asarray(gd.geodesic_is_captured(g))
+            ok = np.asarray(g.status) == 0
+            frac = (cap[ok] == want).mean()
+            assert frac > 0.995, (eps, want, frac)
+
+    def test_schwarzschild_radius(self):
+        """a -> 0: capture radius must be sqrt(27) M for any direction."""
+        inc = np.radians(70.0)
+        for ang in (0.3, 1.2, 2.0):
+            d = np.array([np.cos(ang), np.sin(ang)])
+            lo, hi = 4.0, 6.0
+            for _ in range(40):
+                mid = 0.5 * (lo + hi)
+                g = gd.geodesic_init_inf(inc, 1e-3, mid * d[0], mid * d[1])
+                if bool(gd.geodesic_is_captured(g)):
+                    lo = mid
+                else:
+                    hi = mid
+            assert abs(0.5 * (lo + hi) - np.sqrt(27.0)) < 5e-3
