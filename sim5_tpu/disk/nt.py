@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from .. import consts
 from ..core import r_ms
 from ..special.quadrature import simpson_weights
+from ..utils.fastmath import log_accurate
 
 
 class NTDisk(NamedTuple):
@@ -93,7 +94,6 @@ def nt_flux(disk: NTDisk, r):
     x3 = -2.0 * jnp.cos(ac / 3.0)
     # log_accurate: XLA's f32 TPU log (~1e-4 rel. err) would dominate the
     # whole fast-path error budget here (utils/fastmath.py); exact in f64
-    from ..utils.fastmath import log_accurate
     f0 = x - x0 - 1.5 * a * log_accurate(x / x0)
     f1 = 3.0 * (x1 - a) ** 2 / (x1 * (x1 - x2) * (x1 - x3)) * log_accurate((x - x1) / (x0 - x1))
     f2 = 3.0 * (x2 - a) ** 2 / (x2 * (x2 - x1) * (x2 - x3)) * log_accurate((x - x2) / (x0 - x2))
@@ -187,10 +187,10 @@ def nt_sigma(disk: NTDisk, r):
     xD = 1.0 - 2.0 / rs + a ** 2 / rs ** 2
     xE = 1.0 + 4.0 * a ** 2 / rs ** 2 - 4.0 * a ** 2 / rs ** 3 + 3.0 * a ** 4 / rs ** 4
 
-    f0 = x - x0 - 1.5 * a * jnp.log(x / x0)
-    f1 = 3.0 * (x1 - a) ** 2 / (x1 * (x1 - x2) * (x1 - x3)) * jnp.log((x - x1) / (x0 - x1))
-    f2 = 3.0 * (x2 - a) ** 2 / (x2 * (x2 - x1) * (x2 - x3)) * jnp.log((x - x2) / (x0 - x2))
-    f3 = 3.0 * (x3 - a) ** 2 / (x3 * (x3 - x2) * (x3 - x1)) * jnp.log((x - x3) / (x0 - x3))
+    f0 = x - x0 - 1.5 * a * log_accurate(x / x0)
+    f1 = 3.0 * (x1 - a) ** 2 / (x1 * (x1 - x2) * (x1 - x3)) * log_accurate((x - x1) / (x0 - x1))
+    f2 = 3.0 * (x2 - a) ** 2 / (x2 * (x2 - x1) * (x2 - x3)) * log_accurate((x - x2) / (x0 - x2))
+    f3 = 3.0 * (x3 - a) ** 2 / (x3 * (x3 - x2) * (x3 - x1)) * log_accurate((x - x3) / (x0 - x3))
     xL = (1.0 + a / x ** 3) / jnp.sqrt(1.0 - 3.0 / x ** 2 + 2.0 * a / x ** 3) / x \
         * (f0 - f1 - f2 - f3)
 

@@ -120,10 +120,14 @@ def _make_kernel(opt_gr, opt_pol, max_steps, max_step_dl,
             dl = jnp.maximum(dl, 1e-3)
             dl = jnp.where(active, dl, 0.0)
 
-            # RK4 in (t, r, theta, phi)
+            # RK4 in (t, r, theta, phi); stage-1 acceleration IS the
+            # curvature evaluation above (same r, m, k) -- reuse it rather
+            # than trusting Mosaic CSE with a 20-term contraction
             xth = x
             k1 = k
-            dk1, df1 = accel(xth, k1, f)
+            dk1 = dk0
+            df1 = (_accel_components(opt_gr, a, r, m, k, f) if opt_pol
+                   else f)
             h = 0.5 * dl
             x2_ = [xth[i] + k1[i] * h for i in range(4)]
             k2 = [k[i] + dk1[i] * h for i in range(4)]

@@ -93,10 +93,13 @@ def raytrace_prepare(a, x, k, f=None, precision=0.01, options=RTOPT_NONE):
                          eps, opt_gr, opt_pol)
 
 
-def _rk4_step(state: RaytraceState, dl):
+def _rk4_step(state: RaytraceState, dl, dk_at_x=None):
     """One classical RK4 step of (x, k[, f]) with theta as the poloidal
     coordinate during the step (the reference does the same inside its RK4
-    fallback, sim5raytrace.c:269-298)."""
+    fallback, sim5raytrace.c:269-298).
+
+    `dk_at_x`: optional precomputed -Gamma k k at the current point (the
+    caller's adaptive-step curvature evaluation is the same quantity)."""
     x = state.x
     k = state.k
     f = state.f
@@ -112,7 +115,12 @@ def _rk4_step(state: RaytraceState, dl):
         return dk, df
 
     k1 = k
-    dk1, df1 = accel(xth, k1, f)
+    if dk_at_x is None:
+        dk1, df1 = accel(xth, k1, f)
+    else:
+        dk1 = dk_at_x
+        df1 = (_transport(state, x[..., 1], x[..., 2], k, f)
+               if state.opt_pol else f)
     k2 = k + dk1 * 0.5 * dl_
     dk2, df2 = accel(xth + k1 * 0.5 * dl_, k2, f + df1 * 0.5 * dl_)
     k3 = k + dk2 * 0.5 * dl_
@@ -142,7 +150,7 @@ def raytrace_step(state: RaytraceState, max_step=1e9, active=None):
     dl = jnp.maximum(dl, 1e-3)
     dl = jnp.where(active, dl, 0.0)
 
-    xn, kn, fn = _rk4_step(state, dl)
+    xn, kn, fn = _rk4_step(state, dl, dk_at_x=dk)
     mn = (kerr_metric(state.a, xn[..., 1], xn[..., 2]) if state.opt_gr
           else flat_metric(xn[..., 1], xn[..., 2]))
     kt_new = kn[..., 0] * mn.g00 + kn[..., 3] * mn.g03

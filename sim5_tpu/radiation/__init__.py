@@ -26,8 +26,11 @@ def blackbody_Iv(T, hardf, cos_mu, E):
     # inf/inf = NaN and would poison reverse-mode through masked lanes
     u = jnp.minimum((consts.planck_h * freq)
                     / (consts.boltzmann_k * hardf * Tsafe), 350.0)
+    # expm1_accurate: XLA's f32 TPU expm1 is ~1.1e-4 relative, which
+    # would dominate fast-mode spectra (utils/fastmath.py); exact in f64
+    from ..utils.fastmath import expm1_accurate
     val = (limbf * 2.0 * consts.planck_h * freq ** 3 / consts.speed_of_light ** 2
-           / hardf ** 4 / jnp.expm1(u) * (1.0 / consts.freq2kev))
+           / hardf ** 4 / expm1_accurate(u) * (1.0 / consts.freq2kev))
     return jnp.where(T > 0.0, val, 0.0)
 
 

@@ -46,3 +46,53 @@ def log_accurate(y):
     # IEEE edge semantics (subnormals flush on TPU anyway)
     out = jnp.where(y > 0.0, out, jnp.where(y == 0.0, -jnp.inf, jnp.nan))
     return jnp.where(jnp.isinf(y) & (y > 0), jnp.inf, out)
+
+
+# exp/expm1: XLA's TPU f32 exp is ~8e-6 relative and expm1 ~1.1e-4
+# (measured; IEEE is ~6e-8).  Same cure: exact power-of-two split
+# x = k*ln2 + r with a hi/lo-split ln2, degree-7 Taylor of expm1(r) on
+# |r| <= ln2/2, and 2^k assembled by integer exponent bits.
+
+_LN2_HI = 0.693145751953125        # upper bits of ln2, exact in f32
+_LN2_LO = 1.428606765330187e-06    # ln2 - _LN2_HI
+_INV_LN2 = 1.4426950408889634
+
+
+def _exp_split(x):
+    """(2^k as f32, expm1(r), k) with x = k*ln2 + r, |r| <= ln2/2."""
+    kf = jnp.round(x * jnp.float32(_INV_LN2))
+    r = x - kf * jnp.float32(_LN2_HI)
+    r = r - kf * jnp.float32(_LN2_LO)
+    p = r * (1.0 + r * (0.5 + r * (1.0 / 6.0 + r * (1.0 / 24.0 + r * (
+        1.0 / 120.0 + r * (1.0 / 720.0 + r / 5040.0))))))
+    k = jnp.clip(kf, -126.0, 127.0).astype(jnp.int32)
+    two_k = jax.lax.bitcast_convert_type((k + 127) << 23, jnp.float32)
+    return two_k, p, kf
+
+
+def exp_accurate(x):
+    """exp, ~2 ulp in f32 on TPU (vs ~8e-6 for the hardware path);
+    identical to jnp.exp in f64."""
+    x = jnp.asarray(x)
+    if x.dtype != jnp.float32:
+        return jnp.exp(x)
+    two_k, p, kf = _exp_split(x)
+    out = two_k * (1.0 + p)
+    out = jnp.where(x > 88.72, jnp.inf, out)
+    out = jnp.where(x < -87.3, 0.0, out)
+    return jnp.where(jnp.isnan(x), jnp.nan, out)
+
+
+def expm1_accurate(x):
+    """expm1, ~2 ulp in f32 on TPU (vs ~1.1e-4 for the hardware path);
+    identical to jnp.expm1 in f64."""
+    x = jnp.asarray(x)
+    if x.dtype != jnp.float32:
+        return jnp.expm1(x)
+    two_k, p, kf = _exp_split(x)
+    # k == 0: expm1 = p directly (no cancellation); else 2^k(1+p) - 1,
+    # whose cancellation is benign because |2^k(1+p)| is far from 1
+    out = jnp.where(kf == 0.0, p, two_k * (1.0 + p) - 1.0)
+    out = jnp.where(x > 88.72, jnp.inf, out)
+    out = jnp.where(x < -87.3, -1.0, out)
+    return jnp.where(jnp.isnan(x), jnp.nan, out)

@@ -114,3 +114,43 @@ class TestAccurateLog:
         y = jnp.asarray([0.5, 3.7, 1e200])
         np.testing.assert_array_equal(np.asarray(log_accurate(y)),
                                       np.asarray(jnp.log(y)))
+
+
+class TestAccurateExp:
+    """utils/fastmath.exp_accurate / expm1_accurate (XLA's TPU f32 exp is
+    ~8e-6 relative and expm1 ~1.1e-4; these restore ~2-4 ulp)."""
+
+    def test_f32_accuracy_vs_f64(self):
+        from sim5_tpu.utils.fastmath import exp_accurate, expm1_accurate
+        x64 = np.linspace(-87.0, 88.0, 200001)
+        with jax.enable_x64(False):
+            x = jnp.asarray(x64, jnp.float32)
+            e = np.float64(np.asarray(jax.jit(exp_accurate)(x)))
+            em = np.float64(np.asarray(jax.jit(expm1_accurate)(x)))
+        xr = x64.astype(np.float32).astype(np.float64)
+        rel = np.abs(e - np.exp(xr)) / np.exp(xr)
+        relm = np.abs(em - np.expm1(xr)) / np.maximum(np.abs(np.expm1(xr)),
+                                                      1e-300)
+        assert rel.max() < 1e-6
+        assert relm.max() < 1e-6
+
+    def test_expm1_small_x(self):
+        from sim5_tpu.utils.fastmath import expm1_accurate
+        with jax.enable_x64(False):
+            x = jnp.asarray([1e-8, -1e-8, 1e-4, -1e-4], jnp.float32)
+            em = np.float64(np.asarray(expm1_accurate(x)))
+        ref = np.expm1(np.float64([1e-8, -1e-8, 1e-4, -1e-4]))
+        np.testing.assert_allclose(em, ref, rtol=2e-7)
+
+    def test_edges_and_f64(self):
+        from sim5_tpu.utils.fastmath import exp_accurate, expm1_accurate
+        with jax.enable_x64(False):
+            v = np.asarray(exp_accurate(jnp.asarray([100.0, -100.0, 0.0],
+                                                    jnp.float32)))
+            vm = np.asarray(expm1_accurate(jnp.asarray([100.0, -100.0, 0.0],
+                                                       jnp.float32)))
+        assert v[0] == np.inf and v[1] == 0.0 and v[2] == 1.0
+        assert vm[0] == np.inf and vm[1] == -1.0 and vm[2] == 0.0
+        x = jnp.asarray([0.5, -3.0])
+        np.testing.assert_array_equal(np.asarray(exp_accurate(x)),
+                                      np.asarray(jnp.exp(x)))
