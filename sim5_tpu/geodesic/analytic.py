@@ -20,7 +20,7 @@ integral P (Bursa 2017, eq. 34/43), increasing from 0 at infinity.
 import jax.numpy as jnp
 
 from ..special import (
-    elliptic_k, jacobi_sncndn, jacobi_isn, jacobi_icn, jacobi_itn, icn_signed,
+    jacobi_sncndn, jacobi_icn,
     quartic_roots, sort_quartic_roots,
     integral_R_rp_re, integral_R_rp_re_inf,
     integral_R_rp_cc2_inf, integral_R_rp_cc2,
@@ -124,9 +124,8 @@ def _R_roots(a, l, q, r0):
     s3 = jnp.where(is4, r3, 4.0)
     s4 = jnp.where(is4, r4, 2.0)
     m4 = ((s2 - s3) * (s1 - s4)) / ((s2 - s4) * (s1 - s3))
-    Rpc_rr = 2.0 / jnp.sqrt((s1 - s3) * (s2 - s4)) * jacobi_isn(
-        jnp.sqrt((s2 - s4) / (s1 - s4)), m4)
-    Rpc_bh = 2.0 / jnp.sqrt((s1 - s3) * (s2 - s4)) * elliptic_k(m4)
+    c4 = 2.0 / jnp.sqrt((s1 - s3) * (s2 - s4))
+    z4 = jnp.clip(jnp.sqrt((s2 - s4) / (s1 - s4)), 0.0, 1.0)
 
     # --- RC branch: two real roots + complex pair u +- iv
     t1 = jnp.where(is2, r1, 6.0)
@@ -136,7 +135,11 @@ def _R_roots(a, l, q, r0):
     A_rc = jnp.sqrt((t1 - tu) ** 2 + tv ** 2)
     B_rc = jnp.sqrt((t2 - tu) ** 2 + tv ** 2)
     mm_rc = ((A_rc + B_rc) ** 2 - (t1 - t2) ** 2) / (4.0 * A_rc * B_rc)
-    Rpc_rc = icn_signed((A_rc - B_rc) / (A_rc + B_rc), mm_rc) / jnp.sqrt(A_rc * B_rc)
+    z_rc = (A_rc - B_rc) / (A_rc + B_rc)
+    feps = 8.0 * jnp.finfo(m4.dtype).eps
+    az_rc = jnp.clip(jnp.abs(z_rc), feps, 1.0 - feps)
+    mm_rc_s = jnp.clip(mm_rc, 0.0, 1.0 - feps)
+    mp_rc = mm_rc_s / (mm_rc_s - 1.0)
 
     # --- CC branch: two complex pairs b1 +- ia1, b2 +- ia2
     b1 = jnp.where(is0, rr[..., 0], 0.0)
@@ -149,6 +152,34 @@ def _R_roots(a, l, q, r0):
     g1den = jnp.maximum((A_cc + B_cc) ** 2 - 4.0 * a1 * a1, 1e-30)
     g1 = jnp.sqrt(g1num / g1den)
     mm_cc = 4.0 * A_cc * B_cc / (A_cc + B_cc) ** 2
+    zg = 1.0 / g1
+    w_cc = jnp.sqrt(zg * zg / (1.0 + zg * zg))
+
+    # Every Rpc branch reduces to (prefactor x) RF evaluations, so instead
+    # of paying ~6 masked Carlson passes per pixel (isn + K + icn_signed's
+    # two + itn + K), the per-type arguments are mask-selected into TWO
+    # fused RF slots -- the generic-branch specialization of icn_signed
+    # applied across all types (the isn/itn m->0/1 fallback branches are
+    # algebraic identities of the same RF form, so dropping them is exact):
+    #   slot 1: RR isn | RC icn-generic | CC itn-as-isn
+    #   slot 2: RR_BH K(m4) | RC negative-z extension F | CC K(mm_cc)
+    one = jnp.ones_like(m4)
+    x1c = jnp.where(is4, 1.0 - z4 * z4,
+          jnp.where(is2, az_rc * az_rc, 1.0 - w_cc * w_cc))
+    y1c = jnp.where(is4, 1.0 - m4 * z4 * z4,
+          jnp.where(is2, 1.0 - mm_rc * (1.0 - az_rc * az_rc),
+                    1.0 - mm_cc * w_cc * w_cc))
+    rf1 = rf(x1c, y1c, one)
+    x2c = jnp.where(is2, 1.0 - az_rc * az_rc, jnp.zeros_like(m4))
+    y2c = jnp.where(is4, 1.0 - m4,
+          jnp.where(is2, 1.0 - mp_rc * az_rc * az_rc, 1.0 - mm_cc))
+    rf2 = rf(x2c, y2c, one)
+
+    Rpc_rr = c4 * z4 * rf1
+    Rpc_bh = c4 * rf2
+    icn1 = jnp.sqrt(1.0 - az_rc * az_rc) * rf1
+    neg = 2.0 / jnp.sqrt(1.0 - mm_rc_s) * az_rc * rf2
+    Rpc_rc = jnp.where(z_rc >= 0.0, icn1, neg + icn1) / jnp.sqrt(A_rc * B_rc)
     # total integral infinity -> rp.  The tangent half-map z(r) of BF
     # 260.00 crosses its pole (z = +-inf, u = K) at r* = a1/g1 + b1; the
     # full integral continues PAST the pole, so u(infinity) = 2K - itn(1/g1)
@@ -157,8 +188,7 @@ def _R_roots(a, l, q, r0):
     # value is wrong for every radius above r* (it never uses the branch;
     # its r(P) for CC is NaN).  Validated against direct quadrature of
     # 1/sqrt(R) in tests/test_geodesic.py.
-    Rpc_cc = 2.0 / (A_cc + B_cc) * (
-        2.0 * elliptic_k(mm_cc) - jacobi_itn(1.0 / g1, mm_cc))
+    Rpc_cc = 2.0 / (A_cc + B_cc) * (2.0 * rf2 - w_cc * rf1)
 
     rp = jnp.where(is4, jnp.where(inner, r2, r1),
                    jnp.where(is2, t1, b1 - a1 * g1))
@@ -353,14 +383,14 @@ def geodesic_P_int(g: Geodesic, r, ppc):
     rs = jnp.where(is4, r, 10.0)
     arg_rr = jnp.sqrt(jnp.maximum(((r2 - r4) * (rs - r1))
                                   / ((r1 - r4) * (rs - r2)), 0.0))
-    R_rr = 2.0 / jnp.sqrt((r1 - r3) * (r2 - r4)) * jacobi_isn(
-        jnp.minimum(arg_rr, 1.0), mm4)
     # RR_BH: argument sqrt((r1-r3)/(r2-r3)*(r2-r)/(r1-r))
     rs_bh = jnp.where(is_bh, r, 3.0)
     arg_bh = jnp.sqrt(jnp.maximum((r1 - r3) / (r2 - r3)
                                   * (r2 - rs_bh) / (r1 - rs_bh), 0.0))
-    R_bh = 2.0 / jnp.sqrt((r1 - r3) * (r2 - r4)) * jacobi_isn(
-        jnp.minimum(arg_bh, 1.0), mm4)
+    # RR and RR_BH lanes are mutually exclusive and share c4/mm4, so one
+    # isn slot serves both
+    arg4 = jnp.minimum(jnp.where(is_bh, arg_bh, arg_rr), 1.0)
+    c4 = 2.0 / jnp.sqrt((r1 - r3) * (r2 - r4))
 
     # RC
     t1 = jnp.where(is_rc, g.rr[..., 0], 6.0)
@@ -372,7 +402,10 @@ def geodesic_P_int(g: Geodesic, r, ppc):
     mm_rc = ((A + B) ** 2 - (t1 - t2) ** 2) / (4.0 * A * B)
     rs_rc = jnp.where(is_rc, r, 10.0)
     z_rc = ((A - B) * rs_rc + t1 * B - t2 * A) / ((A + B) * rs_rc - t1 * B - t2 * A)
-    R_rc = icn_signed(z_rc, mm_rc) / jnp.sqrt(A * B)
+    feps = 8.0 * jnp.finfo(mm4.dtype).eps
+    az_rc = jnp.clip(jnp.abs(z_rc), feps, 1.0 - feps)
+    mm_rc_s = jnp.clip(mm_rc, 0.0, 1.0 - feps)
+    mp_rc = mm_rc_s / (mm_rc_s - 1.0)
 
     # CC
     b1 = jnp.where(is_cc, g.rr[..., 0], 0.0)
@@ -387,12 +420,35 @@ def geodesic_P_int(g: Geodesic, r, ppc):
     mm_cc = 4.0 * A_cc * B_cc / (A_cc + B_cc) ** 2
     rs_cc = jnp.where(is_cc, r, 10.0)
     z_cc = (rs_cc - b1 + a1 * g1) / (a1 + b1 * g1 - g1 * rs_cc)
+    w_cc = jnp.sqrt(z_cc * z_cc / (1.0 + z_cc * z_cc))
+
+    # two fused Carlson slots across all types (see _R_roots for the same
+    # technique; the per-call special-function count drops from ~7 RF
+    # passes to 2):
+    #   slot 1: RR/RR_BH isn(arg4) | RC icn-generic | CC itn(|z_cc|)
+    #   slot 2: RC negative-z extension F | CC K(mm_cc)
+    one = jnp.ones_like(mm4)
+    x1c = jnp.where(is4, 1.0 - arg4 * arg4,
+          jnp.where(is_rc, az_rc * az_rc, 1.0 - w_cc * w_cc))
+    y1c = jnp.where(is4, 1.0 - mm4 * arg4 * arg4,
+          jnp.where(is_rc, 1.0 - mm_rc * (1.0 - az_rc * az_rc),
+                    1.0 - mm_cc * w_cc * w_cc))
+    rf1 = rf(x1c, y1c, one)
+    x2c = jnp.where(is_rc, 1.0 - az_rc * az_rc, jnp.zeros_like(mm4))
+    y2c = jnp.where(is_rc, 1.0 - mp_rc * az_rc * az_rc, 1.0 - mm_cc)
+    rf2 = rf(x2c, y2c, one)
+
+    R_rr = c4 * arg4 * rf1
+    R_bh = R_rr
+    icn1 = jnp.sqrt(1.0 - az_rc * az_rc) * rf1
+    neg = 2.0 / jnp.sqrt(1.0 - mm_rc_s) * az_rc * rf2
+    R_rc = jnp.where(z_rc >= 0.0, icn1, neg + icn1) / jnp.sqrt(A * B)
     # monotone continuation past the z-pole at r* = a1/g1 + b1 (u = K):
     # u(r) = itn(z) on the near side (z >= 0), 2K - itn(|z|) beyond -- the
     # reference's even itn folds the integral back there (see _R_roots).
     # Every physical radius (r > r_horizon > r*) is on the far branch.
-    u_cc = jnp.where(z_cc >= 0.0, jacobi_itn(z_cc, mm_cc),
-                     2.0 * elliptic_k(mm_cc) - jacobi_itn(-z_cc, mm_cc))
+    itn_abs = w_cc * rf1
+    u_cc = jnp.where(z_cc >= 0.0, itn_abs, 2.0 * rf2 - itn_abs)
     R_cc = 2.0 / (A_cc + B_cc) * u_cc
 
     ppc_f = jnp.asarray(ppc, jnp.float64)
