@@ -25,10 +25,14 @@ from .integrals import (
     integral_R_r0_re, integral_R_r0_re_inf, integral_R_r0_cc, integral_R_r0_cc_inf,
     integral_R_r1_re, integral_R_r1_cc, integral_R_r2_re, integral_R_r2_cc,
     integral_R_rp_re, integral_R_rp_re_inf, integral_R_rp_cc2, integral_R_rp_cc2_inf,
+    integral_R_r0_bh, integral_R_r1_bh, integral_R_r2_bh, integral_R_rp_bh,
     integral_T_m0, integral_T_m2, integral_T_mp,
+    integral_T_m0_dn, integral_T_m2_dn, integral_T_mp_dn,
 )
-from .polyroots import quadratic_roots, cubic_roots, quartic_roots, sort_quartic_roots
+from .polyroots import (quadratic_roots, cubic_roots, quartic_roots,
+                        sort_quartic_roots, polish_quartic_real_roots)
 from .interp import (Interp, interp_init, interp_eval,
+                     InterpBuilder, interp_init_build,
                      INTERP_TYPE_LINLIN, INTERP_TYPE_LOGLOG,
                      INTERP_TYPE_LOGLIN, INTERP_TYPE_SPLINE,
                      INTERP_OPT_ALLOW_EXTRAPOLATION)

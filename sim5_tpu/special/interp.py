@@ -69,6 +69,51 @@ def interp_init(x, y, itype=INTERP_TYPE_LINLIN, options=0):
                   itype, options)
 
 
+class InterpBuilder:
+    """Incremental-build data model (reference: INTERP_DATA_BUILD,
+    sim5interpolation.h:26 + sim5_interp_data_push, sim5interpolation.c:296-322).
+
+    The reference lets callers create an empty sim5interp and push (x, y)
+    samples one at a time (capacity grows geometrically) before evaluating.
+    Host-side construction is the natural place for that here: points
+    accumulate in Python lists and `finalize()` freezes them into the
+    immutable device `Interp` pytree.  Pushes must arrive in strictly
+    increasing x order, exactly as the reference enforces
+    (sim5interpolation.c:315-319).
+    """
+
+    def __init__(self, itype=INTERP_TYPE_LINLIN, options=0):
+        self.itype = itype
+        self.options = options
+        self._x = []
+        self._y = []
+
+    def push(self, x, y):
+        """Append one (x, y) sample (reference: sim5_interp_data_push)."""
+        x = float(x)
+        if self._x and x <= self._x[-1]:
+            raise ValueError(
+                f"unordered X grid (x[{len(self._x)-1}]={self._x[-1]:.4e}, "
+                f"x[{len(self._x)}]={x:.4e})")
+        self._x.append(x)
+        self._y.append(float(y))
+        return self
+
+    def __len__(self):
+        return len(self._x)
+
+    def finalize(self):
+        """Freeze pushed data into an `Interp` table."""
+        if len(self._x) < 2:
+            raise ValueError("need at least 2 pushed points")
+        return interp_init(self._x, self._y, self.itype, self.options)
+
+
+def interp_init_build(itype=INTERP_TYPE_LINLIN, options=0):
+    """Create an empty incremental-build table (INTERP_DATA_BUILD mode)."""
+    return InterpBuilder(itype, options)
+
+
 def interp_eval(tab: Interp, xq):
     """Evaluate the table at query points (batched).
 

@@ -33,6 +33,25 @@ class TestInterp:
         assert np.max(np.abs(np.asarray(sp.interp_eval(lin, xq))
                              - xq ** -2.5) / xq ** -2.5) < 0.02
 
+    def test_incremental_build(self):
+        # reference INTERP_DATA_BUILD / sim5_interp_data_push
+        # (sim5interpolation.c:271,296-322): push samples one at a time,
+        # then evaluate; unordered pushes are rejected
+        import pytest
+        b = sp.interp_init_build(sp.INTERP_TYPE_SPLINE)
+        x = np.linspace(-4, 4, 60)
+        for xi in x:
+            b.push(xi, np.exp(-xi * xi / 2))
+        assert len(b) == 60
+        tab = b.finalize()
+        xq = np.linspace(-3.9, 3.9, 101)
+        got = np.asarray(sp.interp_eval(tab, xq))
+        assert np.max(np.abs(got - np.exp(-xq * xq / 2))) < 2e-4
+        with pytest.raises(ValueError):
+            sp.interp_init_build().push(1.0, 0.0).push(0.5, 0.0)
+        with pytest.raises(ValueError):
+            sp.interp_init_build().push(1.0, 0.0).finalize()
+
     def test_extrapolation_policy(self):
         x = np.linspace(0, 1, 10)
         tab = sp.interp_init(x, x, sp.INTERP_TYPE_LINLIN)
