@@ -259,6 +259,58 @@ def integral_R_rp_cc2_inf(a, b, u, v, p, X1):
 
 
 # ---------------------------------------------------------------------------
+# bound-band radial integrals (four real roots r1 > r2 >= Y >= r3 > r4,
+# integration on the inner band [Y, r2] where R(x) =
+# (r1-x)(r2-x)(x-r3)(x-r4) >= 0).  BF 256-series via the rational sn^2 map
+# w = kappa sn^2, r = (r2 - w r1)/(1 - w), kappa = (r2-r3)/(r1-r3)
+# (the map of geodesic_position_rad's RR_BH inversion), under which
+# dx/sqrt(R) = c4 du and every integrand becomes a Z1/Z2 form.
+# No reference equivalent: sim5elliptic.c has only the from-infinity
+# r >= r1 forms, and the engine NaNs the RR_BH type outright
+# (sim5kerr-geod.c:322,489,600).
+# ---------------------------------------------------------------------------
+
+def _band_setup(r1, r2, r3, r4, Y):
+    mm4 = ((r2 - r3) * (r1 - r4)) / ((r2 - r4) * (r1 - r3))
+    c4 = 2.0 / jnp.sqrt((r1 - r3) * (r2 - r4))
+    kappa = (r2 - r3) / (r1 - r3)
+    sn = jnp.sqrt(jnp.clip(
+        (r1 - r3) / (r2 - r3) * (r2 - Y) / (r1 - Y), 0.0, 1.0))
+    u = jacobi_isn(sn, mm4)
+    return mm4, c4, kappa, u
+
+
+def integral_R_r0_bh(r1, r2, r3, r4, Y):
+    """int_Y^r2 dx/sqrt(R) on the bound band (BF 256.00)."""
+    _, c4, _, u = _band_setup(r1, r2, r3, r4, Y)
+    return c4 * u
+
+
+def integral_R_r1_bh(r1, r2, r3, r4, Y):
+    """int_Y^r2 x dx/sqrt(R) on the bound band."""
+    mm4, c4, kappa, u = _band_setup(r1, r2, r3, r4, Y)
+    return c4 * r2 * integral_Z1(kappa, kappa * r1 / r2, u, mm4)
+
+
+def integral_R_r2_bh(r1, r2, r3, r4, Y):
+    """int_Y^r2 x^2 dx/sqrt(R) on the bound band."""
+    mm4, c4, kappa, u = _band_setup(r1, r2, r3, r4, Y)
+    return c4 * r2 ** 2 * integral_Z2(kappa, kappa * r1 / r2, u, mm4)
+
+
+def integral_R_rp_bh(r1, r2, r3, r4, p, Y):
+    """int_Y^r2 dx/[(x-p) sqrt(R)] on the bound band.
+
+    1/(x-p) maps to (1 - kappa sn^2)/((r2-p)(1 - n sn^2)) with
+    n = kappa (r1-p)/(r2-p); diverges (physically) iff p lies inside
+    [Y, r2] -- a horizon crossing.
+    """
+    mm4, c4, kappa, u = _band_setup(r1, r2, r3, r4, Y)
+    n = kappa * (r1 - p) / (r2 - p)
+    return c4 / (r2 - p) * integral_Z1(n, kappa, u, mm4)
+
+
+# ---------------------------------------------------------------------------
 # angular (T) integrals int dx / [(p - x^2)^k sqrt((a^2+x^2)(b^2-x^2))]
 # ---------------------------------------------------------------------------
 
@@ -274,6 +326,42 @@ def integral_T_m2(a2, b2, X):
     cn = X / jnp.sqrt(b2)
     return b2 / jnp.sqrt(a2 + b2) * (integral_C2_cos(cn, m)
                                      - integral_C2(jnp.zeros_like(cn), m))
+
+
+# --- dn-form angular integrals for vortical (q < 0) poloidal motion:
+# int dx / [(p - x^2)^k sqrt((x^2 - c^2)(b^2 - x^2))], 0 < c <= X <= b.
+# The oscillation variable is x = b*dn(u | mm) with mm = (b^2-c^2)/b^2
+# (BF 233.00 band b >= x >= c), so sn^2(u) = (1 - x^2/b^2)/mm and
+# dx/sqrt((x^2-c^2)(b^2-x^2)) = -du/b.  The reference has no q < 0
+# machinery at all (its cn-form integral_T_* are invalid there,
+# sim5elliptic.c:1119-1159); these close that gap.
+
+def _dn_amplitude_cos(c2, b2, X):
+    """cos(am(u)) for the dn-band map x = b*dn(u|mm) at x = X."""
+    mm = (b2 - c2) / b2
+    sn2 = jnp.clip((1.0 - X * X / b2) / mm, 0.0, 1.0)
+    return jnp.sqrt(1.0 - sn2), mm
+
+
+def integral_T_m0_dn(c2, b2, X):
+    """int_X^b dx/sqrt((x^2-c^2)(b^2-x^2)), c <= X <= b  (BF 233.00)"""
+    cn, mm = _dn_amplitude_cos(c2, b2, X)
+    return elliptic_f_cos(cn, mm) / jnp.sqrt(b2)
+
+
+def integral_T_m2_dn(c2, b2, X):
+    """int_X^b x^2 dx/sqrt((x^2-c^2)(b^2-x^2))  (BF 233.03: b^2 int dn^2 du
+    = b^2 E(am u)); equals b*E(am(u(X)) | mm)."""
+    cn, mm = _dn_amplitude_cos(c2, b2, X)
+    return jnp.sqrt(b2) * elliptic_e_cos(cn, mm)
+
+
+def integral_T_mp_dn(c2, b2, p, X):
+    """int_X^b dx/[(p-x^2) sqrt((x^2-c^2)(b^2-x^2))], p > b^2 or p < c^2
+    (BF 233.02).  p - x^2 = (p-b^2)(1 - n sn^2) with n = -b^2 mm/(p-b^2)."""
+    cn, mm = _dn_amplitude_cos(c2, b2, X)
+    n = -b2 * mm / (p - b2)
+    return elliptic_pi_cos(cn, n, mm) / (jnp.sqrt(b2) * (p - b2))
 
 
 def integral_T_mp(a2, b2, p, X):

@@ -163,3 +163,72 @@ class TestGradients:
         K = sp.elliptic_k(m)
         want = (E - (1 - m) * K) / (2 * m * (1 - m))
         assert np.isclose(float(g), float(want), rtol=1e-7)
+
+
+class TestDnFormTIntegrals:
+    """Vortical (q<0) poloidal integrals on the dn-band c <= x <= b --
+    no reference equivalent exists (the cn-form integral_T_* of
+    sim5elliptic.c:1119-1159 are invalid for q<0); oracle is direct
+    quadrature in the nonsingular x(psi)^2 = b^2 cos^2 psi + c^2 sin^2 psi
+    parametrization (dx/sqrt((x^2-c^2)(b^2-x^2)) = -dpsi/x)."""
+
+    def test_vs_quadrature(self):
+        rng = np.random.default_rng(0)
+        for _ in range(6):
+            c2 = rng.uniform(0.01, 0.5)
+            b2 = min(c2 + rng.uniform(0.05, 0.9), 0.95)
+            c, b = np.sqrt(c2), np.sqrt(b2)
+            X = rng.uniform(c + 1e-6, b - 1e-6)
+            psiX = np.arcsin(np.sqrt((b2 - X * X) / (b2 - c2)))
+            ps = np.linspace(0, psiX, 200001)
+            x = np.sqrt(b2 * np.cos(ps) ** 2 + c2 * np.sin(ps) ** 2)
+            g0 = np.trapezoid(1.0 / x, ps)
+            g2 = np.trapezoid(x, ps)
+            gp = np.trapezoid(1.0 / ((1.0 - x * x) * x), ps)
+            assert abs(float(sp.integral_T_m0_dn(c2, b2, X)) - g0) < 1e-9
+            assert abs(float(sp.integral_T_m2_dn(c2, b2, X)) - g2) < 1e-9
+            assert abs(float(sp.integral_T_mp_dn(c2, b2, 1.0, X)) - gp) < 1e-9
+
+    def test_complete_at_lower_root(self):
+        # X = c closes the band: am = pi/2 (complete integrals)
+        c2, b2 = 0.2, 0.7
+        mm = (b2 - c2) / b2
+        K = float(sp.elliptic_k(mm))
+        assert np.isclose(float(sp.integral_T_m0_dn(c2, b2, np.sqrt(c2))),
+                          K / np.sqrt(b2), rtol=1e-12)
+
+
+class TestBandRadialIntegrals:
+    """Bound-band (RR_BH) radial integrals on [Y, r2] of the inner root
+    band -- no reference equivalent (sim5elliptic.c has only the r >= r1
+    from-infinity forms); oracle is quadrature in the nonsingular
+    w = kappa sin^2 psi parametrization."""
+
+    def test_vs_quadrature(self):
+        rng = np.random.default_rng(1)
+        done = 0
+        while done < 4:
+            r4, r3, r2, r1 = np.sort(rng.uniform(-3, 6, 4))
+            if r2 - r3 < 0.1 or r1 - r2 < 0.05:
+                continue
+            done += 1
+            Y = rng.uniform(r3 + 1e-6, r2 - 1e-6)
+            mm4 = ((r2 - r3) * (r1 - r4)) / ((r2 - r4) * (r1 - r3))
+            c4 = 2.0 / np.sqrt((r1 - r3) * (r2 - r4))
+            kappa = (r2 - r3) / (r1 - r3)
+            snY2 = (r1 - r3) / (r2 - r3) * (r2 - Y) / (r1 - Y)
+            ps = np.linspace(0, np.arcsin(np.sqrt(snY2)), 200001)
+            w = kappa * np.sin(ps) ** 2
+            r = (r2 - w * r1) / (1 - w)
+            ker = c4 / np.sqrt(1 - mm4 * np.sin(ps) ** 2)
+            assert abs(float(sp.integral_R_r0_bh(r1, r2, r3, r4, Y))
+                       - np.trapezoid(ker, ps)) < 1e-8
+            assert abs(float(sp.integral_R_r1_bh(r1, r2, r3, r4, Y))
+                       - np.trapezoid(r * ker, ps)) < 1e-8
+            assert abs(float(sp.integral_R_r2_bh(r1, r2, r3, r4, Y))
+                       - np.trapezoid(r * r * ker, ps)) < 1e-7
+            for p in (r3 - rng.uniform(0.1, 2.0),       # pole below band
+                      rng.uniform(r3 + 1e-2, Y - 1e-2)):  # n>1 branch
+                got = float(sp.integral_R_rp_bh(r1, r2, r3, r4, p, Y))
+                want = np.trapezoid(ker / (r - p), ps)
+                assert abs(got - want) < 1e-6 * max(1.0, abs(want))
