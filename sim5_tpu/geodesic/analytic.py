@@ -17,16 +17,19 @@ Position along a geodesic is parametrized by the monotonic position
 integral P (Bursa 2017, eq. 34/43), increasing from 0 at infinity.
 """
 
+import numpy as np
 import jax.numpy as jnp
 
 from ..special import (
-    jacobi_sncndn, jacobi_icn,
-    quartic_roots, sort_quartic_roots,
+    jacobi_sncndn, jacobi_icn, jacobi_isn,
+    quartic_roots, sort_quartic_roots, polish_quartic_real_roots,
     integral_R_rp_re, integral_R_rp_re_inf,
     integral_R_rp_cc2_inf, integral_R_rp_cc2,
     integral_R_r0_re, integral_R_r1_re, integral_R_r2_re,
     integral_R_r0_cc, integral_R_r1_cc, integral_R_r2_cc,
-    integral_T_mp, rf,
+    integral_R_r0_bh, integral_R_r1_bh, integral_R_r2_bh, integral_R_rp_bh,
+    integral_T_mp, integral_T_mp_dn, integral_T_m2_dn, rf,
+    integral_Z1, integral_Z2,
 )
 from ..core import photon_momentum, photon_motion_constants, r_bh
 from .types import (
@@ -79,6 +82,68 @@ def _theta_pol_vortical(g: Geodesic, P):
     return m, dm_sign
 
 
+def _theta_fold(g: Geodesic, P):
+    """Closed-form oscillation folding shared by the cumulative theta
+    integrals: returns (n, dT) with n completed half-oscillations since the
+    fold base T0 (the most recent m = +-sqrt(m2p) touch at or below P=0)
+    and dT = P - T0 - n*Tpp in (0, Tpp]."""
+    sign0 = jnp.where(g.beta >= 0.0, 1.0, -1.0)
+    T0 = jnp.where(sign0 > 0.0, -(g.Tpp - g.Tip), -g.Tip)
+    n = jnp.maximum(0.0, jnp.ceil((P - T0) / g.Tpp) - 1.0)
+    return n, P - T0 - n * g.Tpp
+
+
+def _theta_phi_cum(g: Geodesic, P):
+    """Cumulative azimuthal theta-term  l * int dP' / (1 - m(P')^2), measured
+    from the oscillation base point, monotone in P (sign of l).
+
+    Equator-crossing rays (q > 0, cn-form): per half-oscillation of length
+    Tpp the term grows by the complete integral; the in-segment remainder is
+    integral_T_mp evaluated at the signed m (its negative-X branch is the
+    monotone continuation past the equator).  Vortical rays (q < 0,
+    dn-form): the motion never crosses the equator; segments of length
+    Tpp/2 alternate between the dn-band integrals (integral_T_mp_dn).
+    This closed-form full folding replaces the reference's single-break
+    while loop (sim5kerr-geod.c:538-547), which truncates after one
+    oscillation; validated against the stepwise integrator's phi.
+    """
+    # --- q > 0 (cn-form)
+    qpos = g.q > 0.0
+    m2m = jnp.where(qpos, g.m2m, 1.0)
+    m2p_c = jnp.where(qpos, g.m2p, 0.5)
+    n, dT = _theta_fold(g, P)
+    # in-segment descending variable x = sqrt(m2p)*cn(dT/mK): runs from
+    # +sqrt(m2p) (segment start) monotonically to -sqrt(m2p); the signed-X
+    # branch of integral_T_mp is exactly the monotone path accumulation
+    # (1/(1-m^2) is even in m, so the hemisphere sign of m is irrelevant)
+    x = jnp.clip(jnp.sqrt(m2p_c) * jacobi_sncndn(
+        jnp.where(qpos, dT, 0.5 * g.Tpp) / g.mK, g.mm)[1],
+        -jnp.sqrt(m2p_c), jnp.sqrt(m2p_c))
+    one = jnp.ones_like(g.a)
+    seg = integral_T_mp(m2m, m2p_c, one, x)
+    full = integral_T_mp(m2m, m2p_c, one, -jnp.sqrt(m2p_c))
+    cum_cn = (g.l / g.a) * (n * full + seg)
+
+    # --- q < 0 (dn-form): anchored at u = 0 (m = +-sqrt(m2p)); odd in u
+    qneg = g.q < 0.0
+    c2 = jnp.where(qneg, -g.m2m, 0.2)
+    b2 = jnp.where(qneg, g.m2p, 0.7)
+    sign0 = jnp.where(g.beta >= 0.0, 1.0, -1.0)
+    Pu = P - sign0 * g.Tip
+    s = jnp.sign(Pu)
+    A = jnp.abs(Pu)
+    j = jnp.floor(A / g.Tpp)
+    v = A - j * g.Tpp                     # in [0, Tpp)
+    xv = jnp.sqrt(b2) * jacobi_sncndn(v / g.mK, g.mm)[2]   # b*dn
+    xv = jnp.clip(xv, jnp.sqrt(c2), jnp.sqrt(b2))
+    seg_dn = integral_T_mp_dn(c2, b2, one, xv)
+    full_dn = 2.0 * integral_T_mp_dn(c2, b2, one, jnp.sqrt(c2))
+    segv = jnp.where(v <= 0.5 * g.Tpp, seg_dn, full_dn - seg_dn)
+    cum_dn = (g.l / g.a) * s * (j * full_dn + segv)
+
+    return jnp.where(qneg, cum_dn, cum_cn)
+
+
 # ---------------------------------------------------------------------------
 # root finding & classification
 # ---------------------------------------------------------------------------
@@ -97,6 +162,11 @@ def _R_roots(a, l, q, r0):
     c0 = -a2 * q                      # constant
     re, im, _n = quartic_roots(jnp.zeros_like(a), c2, c1, c0)
     rr, ri, nrr = sort_quartic_roots(re, im)
+    # compensated-Newton polish: the elliptic moduli below are cross-ratios
+    # of root DIFFERENCES, which amplify the closed-form solver's last-ulp
+    # errors ~40x in f32 (the fast path's dominant error source); one
+    # error-free-transform Newton step lands each real root at ~1 ulp
+    rr = polish_quartic_real_roots(rr, ri, c2, c1, c0)
 
     is4 = nrr == 4
     is2 = nrr == 2
@@ -164,14 +234,20 @@ def _R_roots(a, l, q, r0):
     #   slot 1: RR isn | RC icn-generic | CC itn-as-isn
     #   slot 2: RR_BH K(m4) | RC negative-z extension F | CC K(mm_cc)
     one = jnp.ones_like(m4)
-    x1c = jnp.where(is4, 1.0 - z4 * z4,
+    # exact-complement forms for the RR slot: 1 - z4^2 = (s1-s2)/(s1-s4)
+    # and 1 - m4 z4^2 = (s1-s2)/(s1-s3) -- pure root-difference ratios.
+    # The squared forms cancel catastrophically for near-critical rays
+    # (r1 -> r2 at the photon ring), which dominated the f32 fast path's
+    # Rpc error (measured 2.2e-5 rel; the ratio forms are ~1 ulp).
+    x1c = jnp.where(is4, (s1 - s2) / (s1 - s4),
           jnp.where(is2, az_rc * az_rc, 1.0 - w_cc * w_cc))
-    y1c = jnp.where(is4, 1.0 - m4 * z4 * z4,
+    y1c = jnp.where(is4, (s1 - s2) / (s1 - s3),
           jnp.where(is2, 1.0 - mm_rc * (1.0 - az_rc * az_rc),
                     1.0 - mm_cc * w_cc * w_cc))
     rf1 = rf(x1c, y1c, one)
     x2c = jnp.where(is2, 1.0 - az_rc * az_rc, jnp.zeros_like(m4))
-    y2c = jnp.where(is4, 1.0 - m4,
+    # 1 - m4 = (s1-s2)(s3-s4)/((s2-s4)(s1-s3)) exactly (same cancellation)
+    y2c = jnp.where(is4, ((s1 - s2) * (s3 - s4)) / ((s2 - s4) * (s1 - s3)),
           jnp.where(is2, 1.0 - mp_rc * az_rc * az_rc, 1.0 - mm_cc))
     rf2 = rf(x2c, y2c, one)
 
@@ -207,7 +283,14 @@ def _T_roots(a, l, q, m0):
     """
     a2 = a * a
     qla = q + l * l - a2
-    X = jnp.sqrt(qla * qla + 4.0 * q * a2) + qla
+    S = jnp.sqrt(qla * qla + 4.0 * q * a2)
+    # X = S + qla cancels catastrophically when qla < 0 (the f32 fast
+    # path's theta-root error source); the rationalized branch
+    # X = 4 q a^2 / (S - qla) is the exact same quantity with no
+    # subtraction of close values (the standard stable quadratic form)
+    denom = S - qla
+    X = jnp.where(qla >= 0.0, S + qla,
+                  4.0 * q * a2 / jnp.where(denom != 0.0, denom, 1.0))
     m2m = X / (2.0 * a2)
     m2p = (2.0 * q) / X
 
@@ -275,8 +358,14 @@ def geodesic_init_inf(i, a, alpha, beta):
                  jnp.asarray(status, jnp.int32))
     # Tpp = 2 mK icn(0, mm) = 2 mK K(mm) -- evaluate the complete integral
     # directly (icn's masked negative/m0/m1 branches would cost 3 extra RF
-    # evaluations per pixel for nothing)
-    Tpp = 2.0 * mK * rf(jnp.zeros_like(mm), 1.0 - mm, jnp.ones_like(mm))
+    # evaluations per pixel for nothing).  The complement 1 - mm is formed
+    # from the theta roots exactly (q>0: m2m/(m2p+m2m); q<0: -m2m/m2p) --
+    # the subtraction cancels for near-polar rays (mm -> 1) where K is
+    # log-divergent and most sensitive.
+    mm_c = jnp.where(q > 0.0, m2m / (m2p + m2m),
+                     -m2m / jnp.where(m2p != 0.0, m2p, 1.0))
+    mm_c = jnp.clip(mm_c, 1e-12, 1.0)
+    Tpp = 2.0 * mK * rf(jnp.zeros_like(mm), mm_c, jnp.ones_like(mm))
     # Tip = mK * icn(cos_i/sqrt(m2p), mm), but 1 - u^2 suffers catastrophic
     # cancellation as beta -> 0 (the observer sits at the theta turning
     # point, u -> 1).  The theta potential at the observer is identically
@@ -298,7 +387,9 @@ def geodesic_init_inf(i, a, alpha, beta):
     eps_direct = (m2p - cos_i ** 2) / m2p
     eps = jnp.where(eps_direct > 1e-6, eps_direct, eps_ident)
     eps = jnp.clip(eps, 1e-300, 1.0)
-    Tip = mK * jnp.sqrt(eps) * rf(1.0 - eps, 1.0 - mm * eps,
+    # 1 - mm*eps = (1-eps) + eps*(1-mm) with the exact complement mm_c:
+    # stable when both mm -> 1 and eps -> 1 (near-polar turning points)
+    Tip = mK * jnp.sqrt(eps) * rf(1.0 - eps, (1.0 - eps) + eps * mm_c,
                                   jnp.ones_like(eps))
     # vortical (q < 0) rays: Tip is the dn-form integral
     # mK * idn(cos_i/sqrt(m2p), mm) with idn(y) = isn(sqrt((1-y^2)/mm))
@@ -337,9 +428,9 @@ def geodesic_init_src(a, r, m, k, ppc):
 
     Tmp = _theta_int(g, m)
     Tpp = 2.0 * _theta_int(g, jnp.zeros_like(a_eff))
-    T = geodesic_P_int(g, r, ppc)
+    P_pt = geodesic_P_int(g, r, ppc)
     sign_dm = jnp.where(k[..., 2] < 0.0, 1.0, -1.0)
-    T = T + jnp.where(sign_dm > 0.0, Tpp - Tmp, Tmp)
+    T = P_pt + jnp.where(sign_dm > 0.0, Tpp - Tmp, Tmp)
     # fold T into (0, Tpp], flipping sign_dm per period
     # (while T > Tpp: T -= Tpp; flip)
     nper = jnp.maximum(0.0, jnp.ceil(T / Tpp) - 1.0)
@@ -353,6 +444,36 @@ def geodesic_init_src(a, r, m, k, ppc):
 
     g = g._replace(alpha=alpha, beta=beta, incl=incl, cos_i=cos_i)
     Tip = _theta_int(g, cos_i)
+
+    # --- vortical (q < 0) theta bookkeeping: the cn-form above is invalid
+    # (the motion is the dn-band oscillation, see _theta_pol_vortical); no
+    # reference equivalent exists (its init_src assumes equator-crossing
+    # rays).  Infer the dn-phase u_pt from (|m|, sign dm) and store a
+    # Tip/beta pair consistent with the sign0=+1 convention so that
+    # position_pol/dm_sign/_theta_*_cum reproduce the motion.
+    from ..special import elliptic_f_cos
+    qneg = q < 0.0
+    b2v = jnp.where(qneg, g.m2p, 0.7)
+    mm_s = jnp.where(qneg, g.mm, 0.5)
+    hemi = jnp.where(m >= 0.0, 1.0, -1.0)
+    sn2v = jnp.clip((1.0 - m * m / b2v) / mm_s, 0.0, 1.0)
+    Tcur = g.mK * elliptic_f_cos(jnp.sqrt(1.0 - sn2v), mm_s)
+    desc = sign_dm * hemi < 0.0        # |m| decreasing: u_pt in (0, K)
+    Tip_v = jnp.where(jnp.isfinite(P_pt), P_pt, 0.0) \
+        - jnp.where(desc, Tcur, -Tcur)
+    Tip_v = Tip_v - Tpp * jnp.round(Tip_v / Tpp)
+    sn_ip, cn_ip, dn_ip = jacobi_sncndn(Tip_v / g.mK, mm_s)
+    cos_i_v = hemi * jnp.sqrt(b2v) * dn_ip
+    incl_v = jnp.arccos(jnp.clip(cos_i_v, -1.0, 1.0))
+    alpha_v = -l / jnp.sqrt(jnp.maximum(1.0 - cos_i_v ** 2, 1e-30))
+    beta_v = jnp.sqrt(jnp.maximum(
+        q - cos_i_v ** 2 * (alpha_v ** 2 - a_eff ** 2), 0.0))
+
+    g = g._replace(alpha=jnp.where(qneg, alpha_v, alpha),
+                   beta=jnp.where(qneg, beta_v, beta),
+                   incl=jnp.where(qneg, incl_v, incl),
+                   cos_i=jnp.where(qneg, cos_i_v, cos_i))
+    Tip = jnp.where(qneg, Tip_v, Tip)
     return g._replace(Tpp=Tpp, Tip=Tip)
 
 
@@ -363,7 +484,12 @@ def geodesic_init_src(a, r, m, k, ppc):
 def geodesic_P_int(g: Geodesic, r, ppc):
     """Value of the position integral between infinity and radius r.
 
-    `ppc`: 0 = before periastron, 1 = past periastron.
+    `ppc`: 0 = before the (outer) turning point, 1 = past it.  For the
+    from-infinity types the turning point is the periastron (reference
+    semantics).  For bound RR_BH rays (beyond the reference, which NaNs
+    them) the band parametrization runs r3 -> r2 over P in [0, Rpc], so
+    the flag refers to the APASTRON r2: ppc=0 is the ascending (outward)
+    branch with P = Rpc - R(r), ppc=1 the descending branch Rpc + R(r).
     (reference: geodesic_P_int, sim5kerr-geod.c:178-263)
     """
     r = jnp.asarray(r, jnp.float64)
@@ -614,23 +740,165 @@ def geodesic_position_pol_sign_k_theta(g: Geodesic, P):
     return -geodesic_dm_sign(g, P)
 
 
-def geodesic_position_azm(g: Geodesic, r, m, P):
-    """Azimuthal angle change between [r,m] and infinity.
+# --- CC (four complex roots) radial integrals: the tangent half-map of
+# P_int/position_rad makes u an affine function of P, so any radial
+# integrand becomes a smooth integral in u; there is no BF closed form for
+# the third-kind pieces with two complex pairs (the sin-ratio reduction has
+# a spurious cancelling pole), so the integrals are evaluated by composite
+# end-refined Gauss-Legendre in u -- exact node placement in the elliptic
+# parametrization, analytic integrands, ~1e-10 observed accuracy.  The
+# reference NaNs the CC type in both azm and timedelay
+# (sim5kerr-geod.c:516-521, 703-707).
 
-    (reference: geodesic_position_azm, sim5kerr-geod.c:462-555; the
-    reference's while loop contains a `break` making it a single `if`,
-    reproduced faithfully here)
+_GL16_X, _GL16_W = np.polynomial.legendre.leggauss(16)
+# panel edges geometrically refined toward both ends: the horizon pole sits
+# just below u_lo and the far-field structure just above u_hi
+_CC_PANELS = np.array([0.0, 1.0 / 64, 1.0 / 8, 1.0 / 2,
+                       7.0 / 8, 63.0 / 64, 1.0])
+
+
+def _cc_quad(lo, hi):
+    """(u_nodes, weights) of shape (..., 96) for int_lo^hi."""
+    L = (hi - lo)[..., None]
+    edges = lo[..., None] + L * _CC_PANELS
+    a, b = edges[..., :-1], edges[..., 1:]
+    mid, half = 0.5 * (a + b), 0.5 * (b - a)
+    u = mid[..., None] + half[..., None] * _GL16_X
+    w = half[..., None] * jnp.broadcast_to(_GL16_W, u.shape[-1:]) \
+        * jnp.ones_like(u)
+    return (u.reshape(*u.shape[:-2], 96), w.reshape(*w.shape[:-2], 96))
+
+
+def _cc_setup(g: Geodesic):
+    """Masked CC map parameters (dummy-safe on non-CC lanes)."""
+    is_cc = g.gtype == GEOD_TYPE_CC
+    b1 = jnp.where(is_cc, g.rr[..., 0], 0.0)
+    a1 = jnp.where(is_cc, jnp.abs(g.ri[..., 0]), 1.0)
+    b2 = jnp.where(is_cc, g.rr[..., 2], 1.0)
+    a2_ = jnp.where(is_cc, jnp.abs(g.ri[..., 2]), 2.0)
+    A_cc = jnp.sqrt((b1 - b2) ** 2 + (a1 + a2_) ** 2)
+    B_cc = jnp.sqrt((b1 - b2) ** 2 + (a1 - a2_) ** 2)
+    g1num = jnp.maximum(4.0 * a1 * a1 - (A_cc - B_cc) ** 2, 1e-30)
+    g1den = jnp.maximum((A_cc + B_cc) ** 2 - 4.0 * a1 * a1, 1e-30)
+    g1 = jnp.sqrt(g1num / g1den)
+    mm_cc = 4.0 * A_cc * B_cc / (A_cc + B_cc) ** 2
+    return is_cc, b1, a1, b2, a2_, A_cc, B_cc, g1, mm_cc
+
+
+def _cc_r_of_u(cc, u):
+    """r(u) through the continued tangent half-map (cf. position_rad)."""
+    _, b1, a1, b2, a2_, A_cc, B_cc, g1, mm_cc = cc
+    sn, cn, _ = jacobi_sncndn(u, mm_cc[..., None])
+    cn = jnp.where(jnp.abs(cn) > 1e-30, cn,
+                   jnp.where(cn >= 0, 1e-30, -1e-30))
+    z = sn / cn
+    g1e = g1[..., None]
+    return ((z * (a1 + b1 * g1)[..., None] + (b1 - a1 * g1)[..., None])
+            / (1.0 + g1e * z))
+
+
+def _cc_u_of_P(g: Geodesic, cc, P):
+    """Affine P -> u: P = Rpc - 2u/(A+B)."""
+    _, _, _, _, _, A_cc, B_cc, _, _ = cc
+    return (g.Rpc - P) * 0.5 * (A_cc + B_cc)
+
+
+def _cc_phi_radial(g: Geodesic, cc, P):
+    """Cumulative radial phi term from infinity (P=0) to P for CC rays."""
+    _, b1, a1, b2, a2_, A_cc, B_cc, g1, mm_cc = cc
+    a2 = g.a ** 2
+    sq = jnp.sqrt(1.0 - a2)
+    rph, rmh = 1.0 + sq, 1.0 - sq
+    u_pt = _cc_u_of_P(g, cc, jnp.where(jnp.isfinite(P), P, 0.5 * g.Rpc))
+    u_inf = _cc_u_of_P(g, cc, jnp.zeros_like(g.Rpc))
+    lo = jnp.minimum(u_pt, u_inf)
+    un, w = _cc_quad(lo, u_inf)
+    r = _cc_r_of_u(cc, un)
+    cp = (g.a * rph - g.l * a2 / 2.0) / sq
+    cm = (g.a * rmh - g.l * a2 / 2.0) / sq
+    f = (cp[..., None] / (r - rph[..., None])
+         - cm[..., None] / (r - rmh[..., None]))
+    return (2.0 / (A_cc + B_cc)) * jnp.sum(f * w, axis=-1)
+
+
+def _cc_time_radial(g: Geodesic, cc, P1, P2):
+    """Radial travel time between P1 < P2 for CC rays.
+
+    The far-field growth (dt ~ dr + 2 dlnr) is extracted exactly as the
+    elementary part E(r) = r + 2 ln r; the Gauss sum handles only the
+    bounded remainder W(u) (cancellation-free via the 1/r-series form of
+    f_t - (1+2/r) sqrt(R), which is regular because the quartic has no
+    cubic term so the roots sum to zero).
+    """
+    _, b1, a1, b2, a2_, A_cc, B_cc, g1, mm_cc = cc
+    a2 = g.a ** 2
+    sq = jnp.sqrt(1.0 - a2)
+    rph, rmh = 1.0 + sq, 1.0 - sq
+    Ac = (-g.a * g.l + 4.0) * rph - 2.0 * a2
+    Bc = (g.a * g.l - 4.0) * rmh + 2.0 * a2
+    u1 = _cc_u_of_P(g, cc, P1)
+    u2 = _cc_u_of_P(g, cc, P2)
+    lo, hi = jnp.minimum(u1, u2), jnp.maximum(u1, u2)
+    un, w = _cc_quad(lo, hi)
+    r = _cc_r_of_u(cc, un)
+    s = 1.0 / r
+    # Q1*Q2 = 1 + q1 s + q2 s^2 + q3 s^3 + q4 s^4 (qi real); q1 = -2(b1+b2)
+    # vanishes identically for the geodesic quartic (no cubic term)
+    c1r = b1 * b1 + a1 * a1
+    c2r = b2 * b2 + a2_ * a2_
+    q1 = -2.0 * (b1 + b2)
+    q2 = c1r + c2r + 4.0 * b1 * b2
+    q3 = -2.0 * (b1 * c2r + b2 * c1r)
+    q4 = c1r * c2r
+    Q1 = 1.0 + s * (-2.0 * b1[..., None] + s * c1r[..., None])
+    Q2 = 1.0 + s * (-2.0 * b2[..., None] + s * c2r[..., None])
+    S = jnp.sqrt(jnp.maximum(Q1 * Q2, 1e-300))
+    poly = (q1[..., None] / s + q2[..., None]
+            + s * (q3[..., None] + s * q4[..., None]))
+    W = (4.0
+         + (Ac[..., None] / (r - rph[..., None])
+            + Bc[..., None] / (r - rmh[..., None])) / sq[..., None]
+         - (1.0 + 2.0 * s) * poly / (1.0 + S))
+    quad = (2.0 / (A_cc + B_cc)) * jnp.sum(W * w, axis=-1)
+    r_lo = _cc_r_of_u(cc, hi[..., None])[..., 0]   # larger u = larger r
+    r_hi_ = _cc_r_of_u(cc, lo[..., None])[..., 0]
+    r_a = jnp.minimum(r_lo, r_hi_)
+    r_b = jnp.maximum(r_lo, r_hi_)
+    r_a = jnp.maximum(r_a, 1e-6)
+    elem = (r_b - r_a) + 2.0 * jnp.log(r_b / r_a)
+    return jnp.abs(quad) + elem
+
+
+def geodesic_position_azm(g: Geodesic, r, m, P):
+    """Azimuthal angle change between [r,m] and the anchor point.
+
+    Anchor: infinity for the from-infinity types (RR/RC/CC -- the
+    reference's convention); the apastron passage at P=Rpc for bound
+    RR_BH rays (which have no infinity).
+
+    Beyond the reference (geodesic_position_azm, sim5kerr-geod.c:462-555):
+    the reference implements RR and RC only and truncates the poloidal
+    oscillation bookkeeping after a single fold (its while loop contains a
+    `break`, :542-547).  Here all four live types have radial terms (RR_BH
+    via the bound-band Z1 integrals, CC via the end-refined Gauss rule in
+    the elliptic parameter) and the theta term is the closed-form fully
+    folded cumulative _theta_phi_cum, valid for q > 0 and vortical q < 0
+    rays alike; validated against the stepwise integrator's phi.
     """
     r = jnp.asarray(r, jnp.float64)
     m = jnp.asarray(m, jnp.float64)
     P = jnp.asarray(P, jnp.float64)
     is_rr = g.gtype == GEOD_TYPE_RR
     is_rc = g.gtype == GEOD_TYPE_RC
+    is_bh = g.gtype == GEOD_TYPE_RR_BH
+    is_cc = g.gtype == GEOD_TYPE_CC
 
     a2 = g.a ** 2
     rph = 1.0 + jnp.sqrt(1.0 - a2)   # outer horizon
     rmh = 1.0 - jnp.sqrt(1.0 - a2)   # inner horizon
     ppc = (g.nrr > 0) & (P > g.Rpc)
+    cp = (g.a * rph - g.l * a2 / 2.0) / jnp.sqrt(1.0 - a2)
+    cm = (g.a * rmh - g.l * a2 / 2.0) / jnp.sqrt(1.0 - a2)
 
     # RR radial part
     r1 = jnp.where(is_rr, g.rr[..., 0], 8.0)
@@ -643,8 +911,7 @@ def geodesic_position_azm(g: Geodesic, r, m, P):
             + sgn * integral_R_rp_re(r1, r2, r3, r4, rph, rs))
     B_rr = (integral_R_rp_re_inf(r1, r2, r3, r4, rmh)
             + sgn * integral_R_rp_re(r1, r2, r3, r4, rmh, rs))
-    phi_rr = 1.0 / jnp.sqrt(1.0 - a2) * (
-        A_rr * (g.a * rph - g.l * a2 / 2.0) - B_rr * (g.a * rmh - g.l * a2 / 2.0))
+    phi_rr = A_rr * cp - B_rr * cm
 
     # RC radial part
     t1 = jnp.where(is_rc, g.rr[..., 0], 6.0)
@@ -654,33 +921,60 @@ def geodesic_position_azm(g: Geodesic, r, m, P):
     rs_rc = jnp.where(is_rc & (r >= t1), r, 10.0)
     A_rc = integral_R_rp_cc2_inf(t1, t2, tu, tv, rph, rs_rc)
     B_rc = integral_R_rp_cc2_inf(t1, t2, tu, tv, rmh, rs_rc)
-    phi_rc = 1.0 / jnp.sqrt(1.0 - a2) * (
-        A_rc * (g.a * rph - g.l * a2 / 2.0) - B_rc * (g.a * rmh - g.l * a2 / 2.0))
+    phi_rc = A_rc * cp - B_rc * cm
 
-    phi = jnp.where(is_rr, phi_rr, jnp.where(is_rc, phi_rc, jnp.nan))
+    # RR_BH radial part: cumulative from the apastron passage at P=Rpc,
+    # folded over the 2*Rpc radial period (k full cycles cost 2*Jc each;
+    # Jc diverges iff the band straddles a horizon -- physical winding)
+    b1 = jnp.where(is_bh, g.rr[..., 0], 8.0)
+    b2 = jnp.where(is_bh, g.rr[..., 1], 6.0)
+    b3 = jnp.where(is_bh, g.rr[..., 2], 4.0)
+    b4 = jnp.where(is_bh, g.rr[..., 3], 2.0)
+    Pz = jnp.where(jnp.isfinite(P), P, g.Rpc)
+    k_cyc = jnp.floor(Pz / (2.0 * g.Rpc))
+    Pf = Pz - 2.0 * g.Rpc * k_cyc
+    y_bh = jnp.clip(jnp.where(is_bh & jnp.isfinite(r), r, 5.0),
+                    b3 + 1e-14, b2)
+    J_y = (integral_R_rp_bh(b1, b2, b3, b4, rph, y_bh) * cp
+           - integral_R_rp_bh(b1, b2, b3, b4, rmh, y_bh) * cm)
+    need_jc = is_bh & (k_cyc != 0.0)
+    # dummy pole below the band on untaken lanes (an in-band pole there
+    # would put inf into the untaken where-branch and poison reverse-mode
+    # gradients of the taken one)
+    p_hi = jnp.where(need_jc, rph, b3 - 1.0)
+    p_lo = jnp.where(need_jc, rmh, b3 - 1.0)
+    Jc = jnp.where(
+        need_jc,
+        integral_R_rp_bh(b1, b2, b3, b4, p_hi, b3 + 1e-14) * cp
+        - integral_R_rp_bh(b1, b2, b3, b4, p_lo, b3 + 1e-14) * cm, 0.0)
+    phi_bh = 2.0 * k_cyc * Jc + jnp.where(Pf <= g.Rpc, -J_y, J_y)
 
-    # T (poloidal) part
-    ms = jnp.where(jnp.isfinite(m), m, 0.0)
-    phi_pp = 2.0 * g.l / g.a * integral_T_mp(g.m2m, g.m2p, jnp.ones_like(g.a), jnp.zeros_like(g.a))
-    phi_ip = g.l / g.a * integral_T_mp(g.m2m, g.m2p, jnp.ones_like(g.a), g.cos_i)
-    phi_mp = g.l / g.a * integral_T_mp(g.m2m, g.m2p, jnp.ones_like(g.a), ms)
+    # CC radial part (cumulative from infinity, Gauss in the elliptic u)
+    cc = _cc_setup(g)
+    phi_cc = _cc_phi_radial(g, cc, P)
 
-    sign_dm = jnp.where(g.beta >= 0.0, 1.0, -1.0)
-    T = jnp.where(sign_dm > 0.0, -(g.Tpp - g.Tip), -g.Tip)
-    phi = phi - jnp.where(sign_dm > 0.0, phi_pp - phi_ip, phi_ip)
-    # single-iteration while (faithful to the reference's `break`)
-    once = P >= T + g.Tpp
-    phi = phi + jnp.where(once, phi_pp, 0.0)
-    sign_dm = jnp.where(once, -sign_dm, sign_dm)
-    phi = phi + jnp.where(sign_dm < 0.0, phi_mp, phi_pp - phi_mp)
-    return phi
+    phi = jnp.where(is_rr, phi_rr,
+          jnp.where(is_rc, phi_rc,
+          jnp.where(is_bh, phi_bh,
+          jnp.where(is_cc, phi_cc, jnp.nan))))
+
+    # theta part: fully folded closed-form cumulative (q > 0 cn-form,
+    # q < 0 dn-form); anchored at P=0 (infinity) for from-infinity types,
+    # at the apastron P=Rpc for bound RR_BH rays
+    P_anchor = jnp.where(is_bh, g.Rpc, jnp.zeros_like(g.Rpc))
+    phi = phi + (_theta_phi_cum(g, Pz) - _theta_phi_cum(g, P_anchor))
+    return jnp.where(jnp.isfinite(P), phi, jnp.nan)
 
 
 def geodesic_timedelay(g: Geodesic, P1, r1c, m1c, P2, r2c, m2c):
     """Travel time between positions P1 and P2 (radial part, as in the
     reference whose theta part is disabled, sim5kerr-geod.c:663-702).
 
-    (reference: geodesic_timedelay, sim5kerr-geod.c:559-731)
+    Beyond the reference (geodesic_timedelay, sim5kerr-geod.c:559-731,
+    which implements RR and RC only): bound RR_BH rays via the band
+    Z1/Z2 integrals (cumulative over the 2*Rpc radial period) and CC
+    plunging rays via the Gauss rule with exact far-field extraction;
+    validated against the stepwise integrator's coordinate time.
     """
     P1, P2 = jnp.asarray(P1, jnp.float64), jnp.asarray(P2, jnp.float64)
     r1c = jnp.asarray(r1c, jnp.float64)
@@ -695,6 +989,8 @@ def geodesic_timedelay(g: Geodesic, P1, r1c, m1c, P2, r2c, m2c):
     rmh = 1.0 - jnp.sqrt(1.0 - a2)
     is_rr = g.gtype == GEOD_TYPE_RR
     is_rc = g.gtype == GEOD_TYPE_RC
+    is_bh = g.gtype == GEOD_TYPE_RR_BH
+    is_cc = g.gtype == GEOD_TYPE_CC
 
     ra = jnp.where(is_rr, g.rr[..., 0], 8.0)
     rb = jnp.where(is_rr, g.rr[..., 1], 6.0)
@@ -731,7 +1027,49 @@ def geodesic_timedelay(g: Geodesic, P1, r1c, m1c, P2, r2c, m2c):
     t_rc = (4.0 * jnp.abs(R0c) + 2.0 * jnp.abs(R1c) + jnp.abs(R2c)
             + (A * jnp.abs(RAc) + B * jnp.abs(RBc)) / jnp.sqrt(1.0 - a2))
 
-    return jnp.where(is_rr, t_rr, jnp.where(is_rc, t_rc, jnp.nan))
+    # RR_BH: cumulative band time relative to the apastron passage, folded
+    # over the 2*Rpc radial period (same structure as the azm band term)
+    b1 = jnp.where(is_bh, g.rr[..., 0], 8.0)
+    b2 = jnp.where(is_bh, g.rr[..., 1], 6.0)
+    b3 = jnp.where(is_bh, g.rr[..., 2], 4.0)
+    b4 = jnp.where(is_bh, g.rr[..., 3], 2.0)
+    sq = jnp.sqrt(1.0 - a2)
+
+    def t_band_J(y):
+        """int_y^r2 (r^2 + 2r + 4 + horizon poles) dr/sqrt(R) on the band."""
+        return (4.0 * integral_R_r0_bh(b1, b2, b3, b4, y)
+                + 2.0 * integral_R_r1_bh(b1, b2, b3, b4, y)
+                + integral_R_r2_bh(b1, b2, b3, b4, y)
+                + (A * integral_R_rp_bh(b1, b2, b3, b4,
+                                        jnp.where(is_bh, rph, b3 - 1.0), y)
+                   + B * integral_R_rp_bh(b1, b2, b3, b4,
+                                          jnp.where(is_bh, rmh, b3 - 1.0), y))
+                / sq)
+
+    def t_band_cum(P, rc_):
+        Pz = jnp.where(jnp.isfinite(P), P, g.Rpc)
+        k_cyc = jnp.floor(Pz / (2.0 * g.Rpc))
+        Pf = Pz - 2.0 * g.Rpc * k_cyc
+        y = jnp.clip(jnp.where(is_bh & jnp.isfinite(rc_), rc_, 5.0),
+                     b3 + 1e-14, b2)
+        Jy = t_band_J(y)
+        need = is_bh & (k_cyc != 0.0)
+        Jc = jnp.where(need, t_band_J(b3 + 1e-14), 0.0)
+        return 2.0 * k_cyc * Jc + jnp.where(Pf <= g.Rpc, -Jy, Jy)
+
+    t_bh = jnp.abs(t_band_cum(P2s, x2) - t_band_cum(P1s, x1))
+
+    # CC: Gauss in the elliptic parameter with far-field extraction
+    cc = _cc_setup(g)
+    P1z = jnp.where(jnp.isfinite(P1s), P1s, 0.4 * g.Rpc)
+    P2z = jnp.where(jnp.isfinite(P2s), P2s, 0.6 * g.Rpc)
+    t_cc = _cc_time_radial(g, cc, P1z, P2z)
+
+    t = jnp.where(is_rr, t_rr,
+        jnp.where(is_rc, t_rc,
+        jnp.where(is_bh, t_bh,
+        jnp.where(is_cc, t_cc, jnp.nan))))
+    return jnp.where(jnp.isfinite(P1) & jnp.isfinite(P2), t, jnp.nan)
 
 
 def _theta_time_cum(g: Geodesic, P):
@@ -751,25 +1089,42 @@ def _theta_time_cum(g: Geodesic, P):
     already inside sqrt(Theta); this implementation is validated against
     the stepwise integrator's coordinate time instead (tests/test_geodesic.py).
 
-    Valid for q > 0 (m2m > 0); vortical rays (q < 0) return 0.
+    Vortical rays (q < 0) use the dn-band integral_T_m2_dn (no reference
+    equivalent; the reference's own disabled draft covers q > 0 only).
     """
     from ..special import integral_T_m2
 
-    sign0 = jnp.where(g.beta >= 0.0, 1.0, -1.0)
-    T0 = jnp.where(sign0 > 0.0, -(g.Tpp - g.Tip), -g.Tip)
-    n = jnp.maximum(0.0, jnp.ceil((P - T0) / g.Tpp) - 1.0)
-    dT = P - (T0 + n * g.Tpp)                     # in (0, Tpp]
-    m_abs = jnp.abs(_theta_inv(g, dT))            # |m| at P
-
     qpos = g.q > 0.0
+    n, dT = _theta_fold(g, P)
+    m_abs = jnp.abs(_theta_inv(g, jnp.where(qpos, dT, 0.5 * g.Tpp)))
+
     m2m = jnp.where(qpos, g.m2m, 1.0)             # dummy-safe
     m2p = jnp.where(qpos, g.m2p, 0.5)
     x = jnp.minimum(m_abs, jnp.sqrt(m2p))
     M2x = integral_T_m2(m2m, m2p, x)
     M20 = integral_T_m2(m2m, m2p, jnp.zeros_like(x))
     seg = jnp.where(dT <= 0.5 * g.Tpp, M2x, 2.0 * M20 - M2x)
-    cum = g.a * (n * 2.0 * M20 + seg)
-    return jnp.where(qpos, cum, 0.0)
+    cum_cn = g.a * (n * 2.0 * M20 + seg)
+
+    # vortical branch: anchored at u = 0 (m = +-sqrt(m2p)), odd in u,
+    # segments of Tpp/2 on the dn band (same fold as _theta_phi_cum)
+    qneg = g.q < 0.0
+    c2 = jnp.where(qneg, -g.m2m, 0.2)
+    b2 = jnp.where(qneg, g.m2p, 0.7)
+    sign0 = jnp.where(g.beta >= 0.0, 1.0, -1.0)
+    Pu = P - sign0 * g.Tip
+    s = jnp.sign(Pu)
+    A = jnp.abs(Pu)
+    j = jnp.floor(A / g.Tpp)
+    v = A - j * g.Tpp
+    xv = jnp.clip(jnp.sqrt(b2) * jacobi_sncndn(v / g.mK, g.mm)[2],
+                  jnp.sqrt(c2), jnp.sqrt(b2))
+    seg_dn = integral_T_m2_dn(c2, b2, xv)
+    full_dn = 2.0 * integral_T_m2_dn(c2, b2, jnp.sqrt(c2))
+    segv = jnp.where(v <= 0.5 * g.Tpp, seg_dn, full_dn - seg_dn)
+    cum_dn = g.a * s * (j * full_dn + segv)
+
+    return jnp.where(qneg, cum_dn, cum_cn)
 
 
 def geodesic_timedelay_full(g: Geodesic, P1, r1c, m1c, P2, r2c, m2c):
@@ -779,7 +1134,7 @@ def geodesic_timedelay_full(g: Geodesic, P1, r1c, m1c, P2, r2c, m2c):
     This makes analytic light-curve/reverberation delays exact at any
     inclination; agreement with the stepwise engine's coordinate-time
     accumulation is the validation oracle (no C oracle exists).
-    For vortical rays (q < 0) only the radial part is returned.
+    Vortical rays (q < 0) use the dn-band form of the theta term.
     """
     t_rad = geodesic_timedelay(g, P1, r1c, m1c, P2, r2c, m2c)
     t_th = jnp.abs(_theta_time_cum(g, jnp.asarray(P2, jnp.float64))

@@ -109,6 +109,64 @@ def quartic_roots(a3, a2, a1, a0):
     return re, im, n1 + n2
 
 
+def _two_sum(a, b):
+    """Knuth error-free transform: a + b = s + err exactly."""
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _two_prod(a, b):
+    """Dekker/Veltkamp error-free product: a * b = p + err exactly
+    (no FMA assumption; splitter picked for the active dtype)."""
+    splitter = 134217729.0 if a.dtype == jnp.float64 else 4097.0
+    ca = a * splitter
+    ahi = ca - (ca - a)
+    alo = a - ahi
+    cb = b * splitter
+    bhi = cb - (cb - b)
+    blo = b - bhi
+    p = a * b
+    err = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+    return p, err
+
+
+def polish_quartic_real_roots(re, im, c2, c1, c0):
+    """One compensated-Newton step on the real roots of
+    z^4 + c2 z^2 + c1 z + c0 (the depressed geodesic quartic).
+
+    The closed-form solver leaves roots ~10-40 ulp off in f32, and the
+    geodesic engine's elliptic moduli are CROSS-RATIOS of root differences
+    that amplify those last ulps (measured: the f32 fast path's dominant
+    error, docs/performance.md).  The Newton residual R(z) suffers exactly
+    the same cancellation, so it is evaluated with an error-free-transform
+    compensated Horner scheme (TwoSum/TwoProd); one step then lands the
+    root at ~1 ulp of the working precision for a handful of flops per
+    ray -- no emulated f64 anywhere.  Near-double roots (|R'| ~ 0) are
+    left untouched; complex roots pass through unchanged.
+    """
+    z = re
+    c2 = c2[..., None]
+    c1 = c1[..., None]
+    c0 = c0[..., None]
+    # compensated Horner for R = ((z^2 + c2) z + c1) z + c0, c3 = 0
+    s, e = _two_prod(z, z)                      # z^2
+    s, e2 = _two_sum(s, jnp.broadcast_to(c2, s.shape))
+    err = e + e2
+    p, e = _two_prod(s, z)
+    err = err * z + e
+    s, e2 = _two_sum(p, jnp.broadcast_to(c1, p.shape))
+    err = err + e2
+    p, e = _two_prod(s, z)
+    err = err * z + e
+    s, e2 = _two_sum(p, jnp.broadcast_to(c0, p.shape))
+    R = s + (err + e2)
+    dR = (4.0 * z * z + 2.0 * c2) * z + c1
+    scale = 4.0 * jnp.abs(z) ** 3 + 2.0 * jnp.abs(c2 * z) + jnp.abs(c1)
+    ok = (im == 0.0) & (jnp.abs(dR) > 1e-5 * scale) & jnp.isfinite(R)
+    return jnp.where(ok, z - R / jnp.where(ok, dR, 1.0), re)
+
+
 def sort_quartic_roots(re, im):
     """Order roots: real roots first in descending order, complex roots last.
 

@@ -573,3 +573,215 @@ class TestShadow:
                 else:
                     hi = mid
             assert abs(0.5 * (lo + hi) - np.sqrt(27.0)) < 5e-3
+
+
+class TestFullTypeSurface:
+    """phi(P) and t(P) over the full trajectory-type surface (RR_BH band,
+    CC plunges, vortical q<0 rays) -- the types the reference NaNs
+    (sim5kerr-geod.c:489-521, 600-707).  Oracles: direct quadrature of the
+    radial integrands (CC has no real roots, so the r-space integrand is
+    smooth) and the stepwise integrator's phi / coordinate-time columns."""
+
+    def _march_track(self, a, x0, k0, n_chunks=400, per=20,
+                     precision=0.003, r_stop=1.95):
+        """March one ray in chunks, yielding (t, r, m, phi) samples."""
+        import jax.numpy as jnp
+        from sim5_tpu.march import raytrace_prepare, raytrace
+        st = raytrace_prepare(np.float64(a), x0[None, :], k0[None, :],
+                              precision=precision)
+        out = []
+        for _ in range(n_chunks):
+            st, act = raytrace(st, r_max=400.0, max_steps=per)
+            st = st._replace(steps=jnp.zeros_like(st.steps))
+            tv, rv, mv, pv = np.asarray(st.x[0])
+            if not np.isfinite(rv):
+                break
+            out.append((tv, rv, mv, pv))
+            if not bool(act[0]) or rv < r_stop:
+                break
+        return out
+
+    def test_cc_radial_integrals_vs_quadrature(self):
+        """Gauss-in-u CC radial phi/t integrals vs direct r-space
+        quadrature (smooth integrand: no real roots)."""
+        g = gd.geodesic_init_inf(np.radians(60.0), 0.5, -0.3, 0.124375)
+        assert int(g.gtype) == gd.GEOD_TYPE_CC
+        from sim5_tpu.geodesic.analytic import (_cc_setup, _cc_phi_radial,
+                                                _cc_time_radial)
+        a, l, q = float(g.a), float(g.l), float(g.q)
+        a2 = a * a
+        sq = np.sqrt(1 - a2)
+        rph, rmh = 1 + sq, 1 - sq
+        cp = (a * rph - l * a2 / 2) / sq
+        cm = (a * rmh - l * a2 / 2) / sq
+        Ac = (-a * l + 4) * rph - 2 * a2
+        Bc = (a * l - 4) * rmh + 2 * a2
+
+        def R(r):
+            return (r ** 4 + (a2 - l * l - q) * r ** 2
+                    + 2 * (q + (l - a) ** 2) * r - a2 * q)
+
+        cc = _cc_setup(g)
+
+        def quad_phi(y):
+            # infinity-side: substitute r = y + s/(1-s)
+            s = np.linspace(1e-12, 1 - 1e-9, 4000001)
+            r = y + s / (1 - s)
+            f = cp / (r - rph) - cm / (r - rmh)
+            return np.trapezoid(f / np.sqrt(R(r)) / (1 - s) ** 2, s)
+
+        for y in (2.2, 5.0, 60.0):
+            P = float(gd.geodesic_P_int(g, np.float64(y), 0))
+            got = float(_cc_phi_radial(g, cc, np.float64(P)))
+            want = quad_phi(y)
+            assert abs(got - want) < 1e-8, (y, got, want)
+
+        def quad_t(y1, y2):
+            r = np.linspace(y1, y2, 4000001)
+            f = (r * r + 2 * r + 4
+                 + (Ac / (r - rph) + Bc / (r - rmh)) / sq)
+            return np.trapezoid(f / np.sqrt(R(r)), r)
+
+        for (y1, y2) in ((2.2, 8.0), (3.0, 250.0)):
+            P1 = float(gd.geodesic_P_int(g, np.float64(y1), 0))
+            P2 = float(gd.geodesic_P_int(g, np.float64(y2), 0))
+            got = float(_cc_time_radial(g, cc, np.float64(P1),
+                                        np.float64(P2)))
+            want = quad_t(y1, y2)
+            assert abs(got - want) < 1e-7 * max(1.0, abs(want)), \
+                (y1, y2, got, want)
+
+    @pytest.mark.parametrize("beta", [0.124375, -0.124375])
+    def test_cc_vortical_phi_time_vs_march(self, beta):
+        """CC + vortical: Delta-phi and Delta-t along the ray must track the
+        stepwise integrator (reference: NaN for both)."""
+        import jax.numpy as jnp
+        g = gd.geodesic_init_inf(np.radians(60.0), 0.5, -0.3, beta)
+        assert int(g.gtype) == gd.GEOD_TYPE_CC and float(g.q) < 0.0
+        r0 = 30.0
+        P0 = gd.geodesic_P_int(g, np.float64(r0), 0)
+        m0 = gd.geodesic_position_pol(g, P0)
+        k = gd.geodesic_momentum(g, P0)
+        km = k.at[2].set(-k[2])
+        x0 = jnp.array([0.0, r0, float(m0), 0.0])
+        track = self._march_track(0.5, x0, km)
+        assert len(track) > 50
+        phi0 = float(gd.geodesic_position_azm(
+            g, np.float64(r0), np.float64(m0), P0))
+        # one BATCHED evaluation over all samples (azm broadcasts over P)
+        tv, rv, mv, pv = (np.asarray(c) for c in zip(*track[5::10]))
+        P = gd.geodesic_P_int(g, rv, 0)
+        phi = np.asarray(gd.geodesic_position_azm(g, rv, mv, P))
+        dt = np.asarray(gd.geodesic_timedelay_full(
+            g, np.broadcast_to(np.asarray(P0), P.shape),
+            np.full_like(rv, r0), np.full_like(rv, float(m0)),
+            P, rv, mv))
+        # march phi accumulates from 0 at the start point
+        assert (np.abs((phi - phi0) - pv)
+                < 2e-3 * np.maximum(1.0, np.abs(pv))).all(), \
+            (rv, phi - phi0, pv)
+        assert (np.abs(dt - np.abs(tv))
+                < 2e-3 * np.maximum(1.0, np.abs(tv))).all(), (rv, dt, tv)
+
+    def test_bh_band_phi_time_vs_march(self):
+        """RR_BH bound band: Delta-phi / Delta-t between band positions
+        track the march (reference: NaN)."""
+        import jax.numpy as jnp
+        from sim5_tpu.core import photon_momentum
+        a, rs, m0 = 0.9, 1.8, 0.1
+        l = (2.5 ** 2 * (3 - 2.5) - a ** 2 * (2.5 + 1)) / (a * (2.5 - 1))
+        q = 2.5 ** 3 * (4 * a ** 2 - 2.5 * (2.5 - 3) ** 2) \
+            / (a ** 2 * (2.5 - 1) ** 2) + 0.3
+        k = photon_momentum(a, rs, m0, l, q, 1.0, 1.0)
+        # the start point moves OUTWARD (toward the apastron): in the band
+        # parametrization that is the ascending P in [0, Rpc] branch, i.e.
+        # pre-apastron ppc=0 (P_int returns Rpc - R there; ppc=1 is the
+        # post-apastron descending branch)
+        g = gd.geodesic_init_src(a, np.float64(rs), np.float64(m0), k, 0)
+        assert int(g.gtype) == gd.GEOD_TYPE_RR_BH and int(g.status) == 0
+        km = k.at[2].set(-k[2])
+        x0 = jnp.array([0.0, rs, m0, 0.0])
+        # outward to apastron and back down; stop above the horizon
+        track = self._march_track(a, x0, km, n_chunks=600, per=20,
+                                  precision=0.003, r_stop=1.55)
+        assert len(track) > 50
+        P0 = float(gd.geodesic_P_int(g, np.float64(rs), 0))
+        phi0 = float(gd.geodesic_position_azm(
+            g, np.float64(rs), np.float64(m0), np.float64(P0)))
+        r2 = float(g.rr[1])
+        tv_a, rv_a, mv_a, pv_a = (np.asarray(c) for c in zip(*track))
+        # branch bookkeeping: outward until the apastron, then descending
+        # (the band P parametrization maps the second pass to 2*Rpc - P)
+        imax = int(np.argmax(rv_a))
+        assert abs(rv_a[imax] - r2) < 1e-3    # reaches the apastron
+        sel = np.arange(3, len(rv_a), 8)
+        sel = sel[np.abs(rv_a[sel] - r2) > 1e-4]   # skip the turning point
+        tv, rv, mv, pv = tv_a[sel], rv_a[sel], mv_a[sel], pv_a[sel]
+        # ascending (pre-apastron) samples use ppc=0, descending ppc=1
+        ppc = np.where(sel <= imax, 0.0, 1.0)
+        P = np.asarray(gd.geodesic_P_int(g, rv, ppc))
+        phi = np.asarray(gd.geodesic_position_azm(g, rv, mv, P))
+        dt = np.asarray(gd.geodesic_timedelay_full(
+            g, np.full_like(rv, P0), np.full_like(rv, rs),
+            np.full_like(rv, m0), P, rv, mv))
+        assert (np.abs((phi - phi0) - pv)
+                < 4e-3 * np.maximum(1.0, np.abs(pv))).all(), \
+            (rv, phi - phi0, pv)
+        assert (np.abs(dt - np.abs(tv))
+                < 4e-3 * np.maximum(1.0, np.abs(tv))).all(), (rv, dt, tv)
+
+    def test_rr_multifold_phi_vs_march(self):
+        """A q>0 RR ray followed through the periastron and back out with
+        >1 theta oscillation: the fully folded theta term must track the
+        march where the reference's single-break bookkeeping would not."""
+        import jax.numpy as jnp
+        a, incl = 0.9, np.radians(80.0)
+        # near-critical impact parameters: long winding near the photon
+        # sphere gives multiple theta folds
+        g0 = None
+        for alpha in np.linspace(-7.0, -2.0, 201):
+            gt = gd.geodesic_init_inf(incl, a, alpha, 2.0)
+            if int(gt.gtype) == gd.GEOD_TYPE_RR and int(gt.status) == 0 \
+                    and not bool(gd.geodesic_is_captured(gt)) \
+                    and float(gt.rp) > 2.3 \
+                    and float(gt.Rpc) / float(gt.Tpp) > 1.1:
+                g0 = gt
+                break
+        assert g0 is not None
+        g = g0
+        r0 = 60.0
+        P0 = gd.geodesic_P_int(g, np.float64(r0), 0)
+        m0 = gd.geodesic_position_pol(g, P0)
+        k = gd.geodesic_momentum(g, P0)
+        km = k.at[2].set(-k[2])
+        x0 = jnp.array([0.0, r0, float(m0), 0.0])
+        track = self._march_track(a, x0, km, n_chunks=2500, per=40,
+                                  precision=0.003, r_stop=1.95)
+        rr = np.array([r for _, r, _, _ in track])
+        assert rr.min() < float(g.rp) + 0.2      # reached periastron region
+        assert rr[-1] > 30.0                     # and came back out
+        phi0 = float(gd.geodesic_position_azm(
+            g, np.float64(r0), np.float64(m0), P0))
+        # branch (pre/post periastron) from where the march radius bottomed
+        imin = int(np.argmin(rr))
+        tv_a, rv_a, mv_a, pv_a = (np.asarray(c) for c in zip(*track))
+        sel = np.arange(5, len(track) - 1, 25)
+        sel = sel[np.abs(rv_a[sel] - float(g.rp)) > 1e-4]
+        tv, rv, mv, pv = tv_a[sel], rv_a[sel], mv_a[sel], pv_a[sel]
+        ppc = np.where(sel > imin, 1.0, 0.0)
+        P = np.asarray(gd.geodesic_P_int(g, rv, ppc))
+        phi = np.asarray(gd.geodesic_position_azm(g, rv, mv, P))
+        dt = np.asarray(gd.geodesic_timedelay_full(
+            g, np.broadcast_to(np.asarray(P0), P.shape),
+            np.full_like(rv, r0), np.full_like(rv, float(m0)), P, rv, mv))
+        assert (np.abs((phi - phi0) - pv)
+                < 3e-3 * np.maximum(1.0, np.abs(pv))).all(), \
+            (rv, phi - phi0, pv)
+        assert (np.abs(dt - np.abs(tv))
+                < 3e-3 * np.maximum(1.0, np.abs(tv))).all()
+        assert len(sel) > 10
+        # the ray really does fold more than once in theta
+        n_folds, _ = np.asarray(
+            __import__("sim5_tpu.geodesic.analytic", fromlist=["x"])
+            ._theta_fold(g, gd.geodesic_P_int(g, np.float64(rr[-1]), 1)))
+        assert float(n_folds) >= 2.0
