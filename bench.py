@@ -114,11 +114,15 @@ def march_benchmark():
         done = ~np.asarray(act)
         r_fin = np.asarray(st.x[..., 1])
         drift = np.asarray(raytrace_error(st))
+        # gates tightened in round 3 (1e-4 -> 1e-5, 0.95 -> 0.99) after the
+        # masked revert-and-retry controller landed in both engines
+        # (reference semantics sim5raytrace.c:217-227); measured: 1 NaN ray
+        # in 131072 (a polar-pass coordinate pathology) and 99.96% escaped
         nan_frac = float((~np.isfinite(r_fin)).mean())
-        assert nan_frac <= 1e-4, f"march NaN fraction {nan_frac:.2e}"
+        assert nan_frac <= 1e-5, f"march NaN fraction {nan_frac:.2e}"
         assert done.mean() > 0.99, f"only {done.mean():.3f} rays finished"
         esc = done & (r_fin >= 500.0) & np.isfinite(drift)
-        assert esc.mean() > 0.95
+        assert esc.mean() > 0.99, f"only {esc.mean():.4f} rays escaped"
         med = float(np.median(drift[esc]))
         p99 = float(np.percentile(drift[esc], 99))
         assert med <= 1e-4, f"median Carter drift {med:.2e}"
@@ -135,7 +139,8 @@ def march_benchmark():
     return dict(march_ray_steps_per_sec=total_steps / dt,
                 march_carter_drift_median=med,
                 march_carter_drift_p99=p99,
-                march_nan_fraction=nan_frac)
+                march_nan_fraction=nan_frac,
+                march_escaped_fraction=float(esc.mean()))
 
 
 def main():
@@ -154,7 +159,7 @@ def main():
     @jax.jit
     def render64(a, incl, mdot):
         disk = nt_setup(10.0, a, mdot, 0.1)
-        return render_disk_image(disk, INCL, NPIX, NPIX)
+        return render_disk_image(disk, incl, NPIX, NPIX)
 
     from functools import partial
 
@@ -166,12 +171,30 @@ def main():
     # on-device f64 parity vs the C-reference goldens (judge-visible gate);
     # disk setup runs eagerly and the inclination is a compile-time
     # constant, exactly like the reference example (disk params and incl
-    # are host-side configuration in examples/04 too) -- the fully-traced
-    # path trades ~1e-6 of accuracy for fusion and is benchmarked, not
-    # parity-gated, below
+    # are host-side configuration in examples/04 too); the fully-traced
+    # path is gated separately just below (`ondevice_f64_err_traced`)
     golden_errs = golden_image_check(
         lambda a, inc, npix: render64_golden(nt_setup(10.0, a, 0.1, 0.1),
                                              inc))
+
+    # fully-traced on-device f64 path (spin, inclination and mdot all traced
+    # arguments -- the differentiable/fit configuration): same a=0.998 C
+    # golden, measured instead of the round-2 "~1e-6" claim.  Gate 1e-5 of
+    # peak: tracing costs fusion boundaries, not math, so the error budget
+    # is the same emulated-f64 rounding as the static path plus one digit
+    # of slack for reassociation.
+    @jax.jit
+    def render64_traced(a, incl, mdot):
+        disk = nt_setup(10.0, a, mdot, 0.1)
+        imf, _ = render_disk_image(disk, incl, 128, 128)
+        return imf
+    d998 = np.loadtxt(GOLDEN / "image128_a998.txt")[:, 2].reshape(128, 128)
+    imt = np.asarray(render64_traced(jnp.float64(0.998),
+                                     jnp.float64(np.radians(80.0)),
+                                     jnp.float64(0.1)))
+    assert ((imt > 0) == (d998 > 0)).all(), "traced-path footprint differs"
+    err_traced = float(np.max(np.abs(imt - d998)) / d998.max())
+    assert err_traced <= 1e-5, f"traced f64 path err {err_traced:.2e} > 1e-5"
 
     # compiled Pallas march: correctness gates + throughput
     march = march_benchmark()
@@ -236,6 +259,7 @@ def main():
         "vs_baseline": rays_per_sec / baseline,
         "ondevice_f64_err_a0": golden_errs["a0"],
         "ondevice_f64_err_a998": golden_errs["a998"],
+        "ondevice_f64_err_traced": err_traced,
         "fast_path_err_vs_f64": float(err32),
         **march,
     }))

