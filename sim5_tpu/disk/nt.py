@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from .. import consts
 from ..core import r_ms
 from ..special.quadrature import simpson_weights
-from ..utils.fastmath import log_accurate
+from ..utils.fastmath import log_accurate, vlog
 
 
 class NTDisk(NamedTuple):
@@ -92,14 +92,38 @@ def nt_flux(disk: NTDisk, r):
     x1 = 2.0 * jnp.cos(ac / 3.0 - jnp.pi / 3.0)
     x2 = 2.0 * jnp.cos(ac / 3.0 + jnp.pi / 3.0)
     x3 = -2.0 * jnp.cos(ac / 3.0)
-    # log_accurate: XLA's f32 TPU log (~1e-4 rel. err) would dominate the
-    # whole fast-path error budget here (utils/fastmath.py); exact in f64
-    f0 = x - x0 - 1.5 * a * log_accurate(x / x0)
-    f1 = 3.0 * (x1 - a) ** 2 / (x1 * (x1 - x2) * (x1 - x3)) * log_accurate((x - x1) / (x0 - x1))
-    f2 = 3.0 * (x2 - a) ** 2 / (x2 * (x2 - x1) * (x2 - x3)) * log_accurate((x - x2) / (x0 - x2))
-    f3 = 3.0 * (x3 - a) ** 2 / (x3 * (x3 - x1) * (x3 - x2)) * log_accurate((x - x3) / (x0 - x3))
-    F = 1.0 / (4.0 * jnp.pi * rs) * 1.5 / (x * x * (x ** 3 - 3.0 * x + 2.0 * a)) \
-        * (f0 - f1 - f2 - f3)
+    # Stable evaluation of the PT74 bracket
+    #   B = f0 - f1 - f2 - f3,
+    #   f0 = x - x0 - 1.5 a ln(x/x0),  f_i = c_i ln((x-x_i)/(x0-x_i)),
+    # which vanishes linearly at the ISCO while its terms stay O(1): the
+    # direct form loses ~5 digits in f32 near the inner edge (each log's
+    # argument rounds at ulp(1), measured 1e-5 relative flux error -- the
+    # fast path's dominant shading error).  Writing each log as
+    # log1p(u) = u - vlog(u) with u = delta/(x0 - x_i), delta = x - x0,
+    # collapses the linear parts into one coefficient
+    #   C1 = 1 - 1.5 a/x0 - sum_i c_i/(x0 - x_i)
+    # whose error is RELATIVE to the bracket, and leaves only the
+    # positive, cancellation-free vlog remainders:
+    #   B = delta*C1 + 1.5 a vlog(delta/x0) + sum_i c_i vlog(u_i).
+    # In f64 this is the same function to ~1e-16 (golden gate 1e-10).
+    # (log_accurate inside vlog: XLA's f32 TPU log is ~1e-4 relative and
+    # would dominate everything; utils/fastmath.py)
+    c1_ = 3.0 * (x1 - a) ** 2 / (x1 * (x1 - x2) * (x1 - x3))
+    c2_ = 3.0 * (x2 - a) ** 2 / (x2 * (x2 - x1) * (x2 - x3))
+    c3_ = 3.0 * (x3 - a) ** 2 / (x3 * (x3 - x1) * (x3 - x2))
+    delta = x - x0
+    C1 = 1.0 - 1.5 * a / x0 - c1_ / (x0 - x1) - c2_ / (x0 - x2) \
+        - c3_ / (x0 - x3)
+    B = (delta * C1 + 1.5 * a * vlog(delta / x0)
+         + c1_ * vlog(delta / (x0 - x1))
+         + c2_ * vlog(delta / (x0 - x2))
+         + c3_ * vlog(delta / (x0 - x3)))
+    # denominator x^3 - 3x + 2a in factored form: x1,x2,x3 ARE its roots
+    # by construction, and the expanded polynomial cancels at high spin
+    # (a=0.998: value 0.036 from terms ~3 -> 1e-5 rel err in f32); the
+    # product of O(1) differences is ~1 ulp
+    F = 1.0 / (4.0 * jnp.pi * rs) * 1.5 \
+        / (x * x * ((x - x1) * (x - x2) * (x - x3))) * B
     # normalization: F ~ mdot/m * 9.1721376255e+28 erg/cm2/s (sim5disk-nt.c:137-145)
     out = 9.1721376255e+28 * F * disk.mdot / disk.M
     return jnp.where(inside, 0.0, out)

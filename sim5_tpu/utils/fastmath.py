@@ -83,6 +83,31 @@ def exp_accurate(x):
     return jnp.where(jnp.isnan(x), jnp.nan, out)
 
 
+def vlog(u):
+    """u - log1p(u) for u >= 0, computed WITHOUT the cancellation of the
+    direct subtraction (which loses ~(2/u) digits as u -> 0).
+
+    Via the atanh form log1p(u) = 2 atanh(s), s = u/(2+u):
+      u - 2s = u^2/(2+u) exactly, so
+      vlog(u) = u^2/(2+u) - 2(s^3/3 + s^5/5 + s^7/7 + s^9/9),
+    truncation < 5e-8 relative for u <= 0.5; larger u uses the direct
+    subtraction (no cancellation there).  Used by the stable Page-Thorne
+    flux bracket (disk/nt.py); exact math identity, so the f64 path is
+    unchanged to ~1e-16.
+    """
+    u = jnp.asarray(u)
+    if u.dtype != jnp.float32:
+        # f64: log1p is correctly rounded; the residual cancellation
+        # (~ulp(u) absolute) is far below the golden gates at all u
+        return u - jnp.log1p(u)
+    s = u / (2.0 + u)
+    s2 = s * s
+    series = u * u / (2.0 + u) - 2.0 * s * s2 * (
+        1.0 / 3.0 + s2 * (0.2 + s2 * (1.0 / 7.0 + s2 / 9.0)))
+    direct = u - log_accurate(1.0 + u)
+    return jnp.where(u <= 0.5, series, direct)
+
+
 def expm1_accurate(x):
     """expm1, ~2 ulp in f32 on TPU (vs ~1.1e-4 for the hardware path);
     identical to jnp.expm1 in f64."""
