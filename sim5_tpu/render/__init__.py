@@ -6,7 +6,8 @@ from .driver import (
     disk_tetrad, observed_gfactor, emission_angle,
     vertical_gravity, spectral_hardening, find_surface,
 )
-from .polarized import render_polarized_image, chandrasekhar_poldeg
+from .polarized import (render_polarized_image, chandrasekhar_poldeg,
+                        polarized_spectrum)
 from .lightcurve import (equatorial_crossing_map, hotspot_lightcurve,
                          volume_image, volume_lightcurve)
 from .lineprofile import disk_g_map, line_profile, transfer_function

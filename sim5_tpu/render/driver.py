@@ -296,7 +296,7 @@ class DiskRaytrace:
 
     def spectrum(self, incl_deg, energies, limbdk=1, flat=0,
                  radres=0.15, angres=90.0, hardening=0.0, batch=8192,
-                 return_diagnostics=False):
+                 return_diagnostics=False, mesh=None):
         """Observed disk spectrum [erg/s/cm2/keV] on the detector energy
         grid, by solid-angle-weighted accumulation over a polar grid of the
         observer plane.
@@ -308,7 +308,18 @@ class DiskRaytrace:
         (sim5diskraytrace.py:76,93) to diagnose unresolved grids.  A
         warning is logged whenever the fraction exceeds 1%.
 
-        (reference: DiskRaytrace.spectrum, sim5diskraytrace.py:43-134)
+        With `mesh` (a 1-D jax.sharding.Mesh), every polar-grid batch is
+        placed with a NamedSharding along the mesh's first axis: XLA
+        partitions the embarrassingly parallel ray pipeline across the
+        devices and inserts psum for the per-batch spectrum reductions --
+        the same data-parallel layout as the image path (parallel/mesh.py).
+        Batches are zero-weight-padded to a multiple of the device count;
+        the result is bitwise-independent of the device count up to
+        floating-point reduction order (tested sharded == unsharded on the
+        8-device virtual mesh).
+
+        (reference: DiskRaytrace.spectrum, sim5diskraytrace.py:43-134 --
+        which is a per-pixel Python loop with no parallelism at all)
         """
         incl = np.radians(max(1.0, incl_deg))
         energies = jnp.asarray(energies, jnp.float64)
@@ -347,14 +358,30 @@ class DiskRaytrace:
             return (jnp.sum(Iv_f * w[:, None], 0), jnp.sum(Iv_0 * w[:, None], 0),
                     jnp.sum(jnp.where(ok, 0.0, dOmega)), jnp.sum(dOmega))
 
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            ndev = int(np.prod([mesh.shape[n] for n in mesh.axis_names]))
+            ray_sh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+
+        def place(al, be, dom):
+            if mesh is None:
+                return jnp.asarray(al), jnp.asarray(be), jnp.asarray(dom)
+            pad = (-len(al)) % ndev
+            if pad:
+                al = np.concatenate([al, np.full(pad, al[-1])])
+                be = np.concatenate([be, np.full(pad, be[-1])])
+                dom = np.concatenate([dom, np.zeros(pad)])  # zero weight
+            return (jax.device_put(jnp.asarray(al), ray_sh),
+                    jax.device_put(jnp.asarray(be), ray_sh),
+                    jax.device_put(jnp.asarray(dom), ray_sh))
+
         spec_f = np.zeros(len(energies))
         spec_0 = np.zeros(len(energies))
         dom_err = 0.0
         dom_tot = 0.0
         for i in range(0, len(rx), batch):
             sl = slice(i, i + batch)
-            sf, s0, de, dt = shard(jnp.asarray(alpha[sl]), jnp.asarray(beta[sl]),
-                                   jnp.asarray(dOmega[sl]))
+            sf, s0, de, dt = shard(*place(alpha[sl], beta[sl], dOmega[sl]))
             spec_f += np.asarray(sf)
             spec_0 += np.asarray(s0)
             dom_err += float(de)

@@ -5,8 +5,9 @@ each grid point with the batched `DiskRaytrace` driver, and stores rows in
 a resumable `SpectralTable`.
 
 Multi-host: each process computes the rows whose index is congruent to its
-process id (static row sharding -- rays inside one row already shard over
-the local mesh) and persists them to its OWN shard file
+process id (static row sharding; pass `mesh=` to additionally shard the
+rays inside each row over the local device mesh) and persists them to its
+OWN shard file
 (``<path>.shardKofN.npz``), so concurrent processes never write the same
 file; `merge_shards` combines the shards into the final table once all
 processes finish (or to inspect partial progress).  This keeps the
@@ -70,7 +71,7 @@ def merge_shards(path, params, energies, meta=None, num_processes=None,
 def generate_disk_table(path, spins, mdots, incls, energies,
                         bh_mass=10.0, bh_dist=10.0, radres=0.3, angres=30.0,
                         process_id=0, num_processes=1, flush_every=1,
-                        merge=True, verbose=False):
+                        merge=True, verbose=False, mesh=None):
     """Generate (or resume) a table of observed disk spectra.
 
     Grid axes: spin, mdot, incl [deg]; spectra on `energies` [keV].
@@ -80,6 +81,11 @@ def generate_disk_table(path, spins, mdots, incls, energies,
     callers on disjoint filesystems should instead merge offline with
     `merge_shards` after collecting the shard files.  Returns this
     process's SpectralTable (the merged table on the merging process).
+
+    `mesh` (optional 1-D jax.sharding.Mesh): shard each row's rays over
+    the local devices (DiskRaytrace.spectrum's mesh argument) -- combine
+    with num_processes for the two-level pod layout (rows across hosts,
+    rays across each host's chips).
     """
     params = [("spin", spins), ("mdot", mdots), ("incl", incls)]
     meta = dict(bh_mass=bh_mass, bh_dist=bh_dist, radres=radres,
@@ -97,7 +103,7 @@ def generate_disk_table(path, spins, mdots, incls, energies,
         rt = DiskRaytrace(bh_mass, float(p["spin"]), bh_dist, disk,
                           DiskSpectrum_BlackBody())
         spec, _ = rt.spectrum(float(p["incl"]), energies,
-                              radres=radres, angres=angres)
+                              radres=radres, angres=angres, mesh=mesh)
         n_written += 1
         table.write(idx, spec, flush=(n_written % flush_every == 0))
         if verbose:
@@ -107,4 +113,43 @@ def generate_disk_table(path, spins, mdots, incls, energies,
     if num_processes > 1 and merge and process_id == 0:
         return merge_shards(path, params, energies, meta=meta,
                             num_processes=num_processes)
+    return table
+
+
+def generate_polarized_table(path, spins, incls, energies, bh_mass=10.0,
+                             bh_dist=10.0, mdot=0.1, npix=128,
+                             flush_every=1, verbose=False):
+    """Generate (or resume) a table of Stokes-resolved disk spectra.
+
+    Each row stores the concatenation [I_E, Q_E, U_E] (3 * len(energies)
+    values) from `render.polarized_spectrum` -- the config #3 + #5 product
+    the reference cannot produce (it has no polarized spectral model).
+    The row layout is recorded in the table meta (`stokes_layout`), and the
+    CRC/resume semantics are those of SpectralTable.
+    """
+    import jax.numpy as jnp
+    from ..disk import nt_setup
+    from ..render import polarized_spectrum
+
+    params = [("spin", spins), ("incl", incls)]
+    energies = np.asarray(energies, np.float64)
+    ncol = np.concatenate([energies, energies, energies])
+    meta = dict(bh_mass=bh_mass, bh_dist=bh_dist, mdot=mdot, npix=npix,
+                stokes_layout="I,Q,U x len(energies)")
+    table = SpectralTable.create(path, params, ncol, meta=meta)
+    n_written = 0
+    for (indices, rowpars) in table.generator():
+        idx = indices[0]
+        p = rowpars[0]
+        disk = nt_setup(bh_mass, float(p["spin"]), mdot, 0.1)
+        I, Q, U = polarized_spectrum(
+            disk, float(np.radians(p["incl"])), jnp.asarray(energies),
+            npix=npix, bh_mass=bh_mass, bh_dist=bh_dist)
+        row = np.concatenate([np.asarray(I), np.asarray(Q), np.asarray(U)])
+        n_written += 1
+        table.write(idx, row, flush=(n_written % flush_every == 0))
+        if verbose:
+            done, total = table.progress
+            print(f"[tables] polarized row {idx} done ({done}/{total})")
+    table.save()
     return table
