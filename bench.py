@@ -214,15 +214,19 @@ def main():
         imf32 = np.asarray(imf)
         # verification: hit footprint may differ only on ISCO-boundary
         # pixels (where r sits within float noise of the disk edge and the
-        # hit test is discontinuous -- measure-zero, <=0.01% of pixels);
-        # everywhere else the flux must match f64 to <=5e-5 of peak.
-        # (Round 1 needed a 2e-3 gate; the gap was XLA's approximate f32
-        # TPU log in the PT74 flux, fixed by utils/fastmath.log_accurate --
-        # measured fast-path error is now ~1e-5 of peak, at IEEE-f32 level.)
+        # hit test is discontinuous); everywhere else the flux must match
+        # f64 to <=2e-5 of peak.  (Gate history: 2e-3 round 1 -> 5e-5
+        # round 2 [accurate f32 log] -> 2e-5/1e-5 round 3 [compensated
+        # quartic-root polish, exact-complement elliptic arguments,
+        # delta-form PT74 bracket + factored denominator].  Measured:
+        # 1.1e-5 of peak with ZERO footprint mismatches; the residual is
+        # the irreducible f32 rounding of the impact parameters/motion
+        # constants themselves -- a sub-pixel ray perturbation amplified
+        # by dI/dr at the inner edge, not an algorithmic error.)
         mis = (imf32 > 0) != (ref_f > 0)
-        assert mis.mean() <= 1e-4, f"footprint mismatch on {mis.sum()} px"
+        assert mis.mean() <= 1e-5, f"footprint mismatch on {mis.sum()} px"
         err32 = np.max(np.abs(imf32 - ref_f)[~mis]) / ref_f.max()
-        assert err32 < 5e-5, f"fast-path accuracy {err32:.2e} exceeds gate"
+        assert err32 < 2e-5, f"fast-path accuracy {err32:.2e} exceeds gate"
 
         def one_frame(a):
             disk = nt_setup(10.0, a, MDOT, 0.1)

@@ -18,10 +18,23 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the suite jit-compiles ~100 programs; caching
-# turns a >10-minute cold run into seconds of compile time on reruns
+# turns a >10-minute cold run into seconds of compile time on reruns.
+# The cache path embeds a host-CPU fingerprint: this harness migrates
+# between machines, XLA:CPU loads AOT entries compiled for a DIFFERENT
+# host's vector features anyway (cpu_aot_loader "could lead to execution
+# errors such as SIGILL"), and the resulting mid-suite segfaults cost a
+# full debugging session to trace back here.
+import hashlib
+import platform
+try:
+    with open("/proc/cpuinfo") as _f:
+        _flags = [ln for ln in _f if ln.startswith("flags")][0]
+except (OSError, IndexError):
+    _flags = platform.processor()
+_fp = hashlib.md5(_flags.encode()).hexdigest()[:10]
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache_cpu"))
+                      os.path.abspath(__file__))), f".jax_cache_cpu_{_fp}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pathlib
@@ -70,3 +83,15 @@ def golden_polarization():
 @pytest.fixture(scope="session")
 def golden_raytrace():
     return load_tagged("raytrace.txt")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _free_compiled_executables_between_modules():
+    """XLA:CPU segfaults inside backend_compile after ~1.5k cumulative
+    in-process compilations (deterministically at the same suite position,
+    while every test passes in isolation) -- consistent with JIT code-region
+    exhaustion.  Dropping the in-memory executable cache at module
+    boundaries keeps the live-code footprint bounded; the persistent
+    on-disk cache makes any cross-module recompiles cheap."""
+    yield
+    jax.clear_caches()
