@@ -85,7 +85,7 @@ def golden_raytrace():
     return load_tagged("raytrace.txt")
 
 
-@pytest.fixture(autouse=True, scope="module")
+@pytest.fixture(autouse=True, scope="class")
 def _free_compiled_executables_between_modules():
     """XLA:CPU segfaults inside backend_compile after ~1.5k cumulative
     in-process compilations (deterministically at the same suite position,
