@@ -163,9 +163,12 @@ def nt_lumi(disk: NTDisk):
 
     ys = integrand(xs)
     h = (x1 - x0) / n
-    L = h / 3.0 * jnp.sum(simpson_weights(n) * ys)
-    L = L * (disk.M * consts.grav_radius) ** 2
-    return L / (consts.L_Edd * disk.M)
+    # scale applied INSIDE the sum: the raw integral ~1e43 erg/s exceeds
+    # the TPU f32-pair "f64" exponent range (max ~3.4e38); the Eddington-
+    # normalized summands are O(1e5) (cf. the blackbody_Iv range note)
+    scale = float(consts.grav_radius ** 2 / consts.L_Edd)
+    L = h / 3.0 * jnp.sum(simpson_weights(n) * (ys * scale))
+    return L * disk.M
 
 
 def nt_mdot_for_luminosity(disk: NTDisk, L0):

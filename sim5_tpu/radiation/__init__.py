@@ -9,6 +9,12 @@ import jax.numpy as jnp
 from .. import consts
 
 
+# Planck prefactor 2 h (kev2freq)^3 / c^2 / freq2kev, folded in exact
+# host-side f64 (see the device-range note inside blackbody_Iv)
+_BB_PREF = float(2.0 * consts.planck_h * consts.kev2freq ** 3
+                 / consts.speed_of_light ** 2 / consts.freq2kev)
+
+
 def blackbody_Iv(T, hardf, cos_mu, E):
     """Specific intensity of blackbody radiation at energy E [keV] from a
     surface of temperature T [K], hardening factor `hardf` and limb
@@ -19,18 +25,21 @@ def blackbody_Iv(T, hardf, cos_mu, E):
     T, hardf, cos_mu, E = jnp.broadcast_arrays(
         *(jnp.asarray(v, jnp.float64) for v in (T, hardf, cos_mu, E)))
     limbf = jnp.where(cos_mu >= 0.0, 0.5 + 0.75 * cos_mu, 1.0)
-    freq = consts.kev2freq * E
     Tsafe = jnp.where(T > 0.0, T, 1.0)
     # clamp the Planck exponent: beyond ~350 the intensity underflows to 0
     # anyway, while expm1's gradient (exp(u)/expm1(u)^2) overflows to
     # inf/inf = NaN and would poison reverse-mode through masked lanes
-    u = jnp.minimum((consts.planck_h * freq)
+    u = jnp.minimum((consts.planck_h * consts.kev2freq * E)
                     / (consts.boltzmann_k * hardf * Tsafe), 350.0)
     # expm1_accurate: XLA's f32 TPU expm1 is ~1.1e-4 relative, which
-    # would dominate fast-mode spectra (utils/fastmath.py); exact in f64
+    # would dominate fast-mode spectra (utils/fastmath.py); exact in f64.
+    # The Planck prefactor 2 h freq^3 / c^2 is folded into ONE host-side
+    # Python constant: TPU "f64" is an f32 pair with f32's EXPONENT RANGE
+    # (max ~3.4e38), so the intermediate freq^3 ~ 1e52 would overflow to
+    # NaN on device (it did -- every spectrum NaN'd on the chip while CPU
+    # f64 passed); E^3 <= 1e9 stays comfortably in range
     from ..utils.fastmath import expm1_accurate
-    val = (limbf * 2.0 * consts.planck_h * freq ** 3 / consts.speed_of_light ** 2
-           / hardf ** 4 / expm1_accurate(u) * (1.0 / consts.freq2kev))
+    val = (limbf * _BB_PREF * E ** 3 / hardf ** 4 / expm1_accurate(u))
     return jnp.where(T > 0.0, val, 0.0)
 
 
@@ -53,8 +62,11 @@ def blackbody_photons_total(T, hardf):
     (sim5radiation.c:96-113)
     """
     T = jnp.asarray(T, jnp.float64)
-    return (jnp.pi * 4.808227612 * T ** 3 * consts.boltzmann_k ** 3
-            / consts.planck_h ** 3 / consts.speed_of_light2 / hardf)
+    # (k_B/h)^3/c^2 folded host-side: k_B^3 ~ 2.6e-48 and h^3 ~ 2.9e-79
+    # underflow the TPU f32-pair "f64" range (see blackbody_Iv)
+    pref = float(consts.boltzmann_k ** 3 / consts.planck_h ** 3
+                 / consts.speed_of_light2)
+    return jnp.pi * 4.808227612 * T ** 3 * pref / hardf
 
 
 def blackbody_photon_energy_random(key, T, shape=()):

@@ -109,9 +109,8 @@ def hotspot_lightcurve(a, incl, r_spot, spot_size, t_obs, npix=256,
 
 
 @partial(jax.jit, static_argnames=("npix",))
-def _volume_seed(a, incl, t0, npix, rmax, r_start, precision):
-    """Seed every pixel's ray on its analytic geodesic at r=r_start:
-    returns (march state, valid mask)."""
+def _volume_seed_geom(a, incl, npix, rmax, r_start):
+    """Per-pixel analytic seed WITHOUT the azimuth (see _volume_seed)."""
     alpha, beta = image_grid(npix, npix, rmax)
     g = geodesic_init_inf(incl, a, alpha, beta)
     ok = g.status == 0
@@ -120,7 +119,22 @@ def _volume_seed(a, incl, t0, npix, rmax, r_start, precision):
     P0s = jnp.where(ok, P0, 1e-3)
     r0 = geodesic_position_rad(g, P0s)
     m0 = geodesic_position_pol(g, P0s)
-    phi0 = geodesic_position_azm(g, r0, m0, P0s)
+    return g, ok, P0s, r0, m0
+
+
+@jax.jit
+def _volume_seed_azm(g, ok, P0s, r0, m0):
+    """The azimuth stage of the seed, jitted as its OWN program: the azm
+    graph (all four trajectory-type radial terms + the folded theta
+    cumulative, under emulated f64) is by far the largest single program
+    in the framework, and combining it with the init/inversion stage blew
+    past the remote TPU compiler's memory (SIGKILL)."""
+    return geodesic_position_azm(g, jnp.where(ok, r0, 40.0),
+                                 jnp.where(ok, m0, 0.0), P0s)
+
+
+@jax.jit
+def _volume_seed_pack(g, ok, P0s, r0, m0, phi0, a, t0, r_start, precision):
     ok = ok & jnp.isfinite(r0) & jnp.isfinite(m0) & jnp.isfinite(phi0)
     r0 = jnp.where(ok, r0, r_start)
     m0 = jnp.where(ok, m0, 0.0)
@@ -132,10 +146,20 @@ def _volume_seed(a, incl, t0, npix, rmax, r_start, precision):
     k = jnp.where(ok[..., None], k, jnp.stack(
         [jnp.ones_like(r0), -jnp.ones_like(r0), jnp.zeros_like(r0),
          jnp.zeros_like(r0)], -1))
-
     x0 = jnp.stack([jnp.full_like(r0, t0), r0, m0, phi0], -1)
     st = raytrace_prepare(a, x0, k, precision=precision)
     return st, ok
+
+
+def _volume_seed(a, incl, t0, npix, rmax, r_start, precision):
+    """Seed every pixel's ray on its analytic geodesic at r=r_start:
+    returns (march state, valid mask).  Three separately-jitted stages
+    (geometry / azimuth / packing) -- one monolithic program chokes the
+    remote TPU compiler."""
+    g, ok, P0s, r0, m0 = _volume_seed_geom(a, incl, npix, rmax, r_start)
+    phi0 = _volume_seed_azm(g, ok, P0s, r0, m0)
+    return _volume_seed_pack(g, ok, P0s, r0, m0, phi0, a, t0, r_start,
+                             precision)
 
 
 @partial(jax.jit, static_argnames=("emissivity_fn", "absorption_fn",

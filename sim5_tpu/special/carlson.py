@@ -107,11 +107,17 @@ def rd(x, y, z):
     return 3.0 * s + fac * tail / (ave * jnp.sqrt(ave))
 
 
-def rc(x, y):
+def rc(x, y, _unroll=True):
     """Carlson degenerate RC(x,y) = RF(x,y,y).
 
     x >= 0, y != 0; for y < 0 the Cauchy principal value is returned.
     (reference: sim5elliptic.c:104-137)
+
+    `_unroll=False` forces the loop form regardless of backend -- used by
+    rj, whose own duplication would otherwise nest-unroll 16 rc bodies
+    inside each of its 16 levels (256 blocks per rj call site; with ~10
+    sites in the azimuth/time-delay graphs under emulated f64 this blew
+    past the remote TPU compiler's memory).
     """
     x, y = (jnp.asarray(v, jnp.float64) for v in (x, y))
     x, y = jnp.broadcast_arrays(x, y)
@@ -125,7 +131,11 @@ def rc(x, y):
         lam = 2.0 * jnp.sqrt(xt) * jnp.sqrt(yt) + yt
         return 0.25 * (xt + lam), 0.25 * (yt + lam)
 
-    xt, yt = _iterate(_ndup(), dup, (xt0, yt0))
+    if _unroll:
+        xt, yt = _iterate(_ndup(), dup, (xt0, yt0))
+    else:
+        xt, yt = jax.lax.fori_loop(0, _ndup(), lambda _, s: dup(s),
+                                   (xt0, yt0))
     ave = (xt + yt + yt) / 3.0
     sv = (yt - ave) / ave
     C1, C2, C3, C4 = 0.3, 1.0 / 7.0, 0.375, 9.0 / 22.0
@@ -154,7 +164,7 @@ def rj(x, y, z, p):
     pt_neg = ys + b_
     rho = xs * zs / ys_safe
     tau = p_neg * pt_neg / ys_safe
-    rcx = jnp.where(neg, rc(rho, tau), 0.0)
+    rcx = jnp.where(neg, rc(rho, tau, _unroll=False), 0.0)
 
     xt = jnp.where(neg, xs, x)
     yt = jnp.where(neg, ys, y)
@@ -167,12 +177,19 @@ def rj(x, y, z, p):
         lam = sx * (sy + sz) + sy * sz
         alpha = (pt * (sx + sy + sz) + sx * sy * sz) ** 2
         beta = pt * (pt + lam) ** 2
-        s = s + fac * rc(alpha, beta)
+        s = s + fac * rc(alpha, beta, _unroll=False)
         return (0.25 * (xt + lam), 0.25 * (yt + lam), 0.25 * (zt + lam),
                 0.25 * (pt + lam), s, 0.25 * fac)
 
-    xt, yt, zt, pt, s, fac = _iterate(
-        _ndup(), dup, (xt, yt, zt, pt, jnp.zeros_like(xt), jnp.ones_like(xt)))
+    # rj's duplication is NEVER unrolled: each level contains an rc whose
+    # own 16 levels would multiply the graph 256x per call site (rj is not
+    # on the image fast path -- it appears only in the Pi-based azimuth /
+    # time-delay integrals -- so the HBM round-trips of the loop form cost
+    # nothing that matters, while the unrolled form OOMed the remote TPU
+    # compiler once those graphs grew in round 3)
+    xt, yt, zt, pt, s, fac = jax.lax.fori_loop(
+        0, _ndup(), lambda _, st: dup(st),
+        (xt, yt, zt, pt, jnp.zeros_like(xt), jnp.ones_like(xt)))
     ave = 0.2 * (xt + yt + zt + pt + pt)
     dx = (ave - xt) / ave
     dy = (ave - yt) / ave
