@@ -215,18 +215,20 @@ def main():
         # verification: hit footprint may differ only on ISCO-boundary
         # pixels (where r sits within float noise of the disk edge and the
         # hit test is discontinuous); everywhere else the flux must match
-        # f64 to <=2e-5 of peak.  (Gate history: 2e-3 round 1 -> 5e-5
+        # f64 to <=5e-6 of peak.  (Gate history: 2e-3 round 1 -> 5e-5
         # round 2 [accurate f32 log] -> 2e-5/1e-5 round 3 [compensated
         # quartic-root polish, exact-complement elliptic arguments,
-        # delta-form PT74 bracket + factored denominator].  Measured:
-        # 1.1e-5 of peak with ZERO footprint mismatches; the residual is
-        # the irreducible f32 rounding of the impact parameters/motion
-        # constants themselves -- a sub-pixel ray perturbation amplified
-        # by dI/dr at the inner edge, not an algorithmic error.)
+        # delta-form PT74 bracket + factored denominator] -> 5e-6 round 4
+        # [two-float root gap + complement-parametrized Jacobi AGM for
+        # near-critical rays, stable RC/CC A-B and 1-mm product forms,
+        # homogeneity-transformed negative-z icn branch, exact-trig
+        # cubic-root differences + two-float delta in the PT74 bracket,
+        # factored BPT identity in gfactorK].  Measured: 4.3e-6 of peak
+        # on-chip (3.9e-6 IEEE-f32 CPU) with ZERO footprint mismatches.)
         mis = (imf32 > 0) != (ref_f > 0)
         assert mis.mean() <= 1e-5, f"footprint mismatch on {mis.sum()} px"
         err32 = np.max(np.abs(imf32 - ref_f)[~mis]) / ref_f.max()
-        assert err32 < 2e-5, f"fast-path accuracy {err32:.2e} exceeds gate"
+        assert err32 < 5e-6, f"fast-path accuracy {err32:.2e} exceeds gate"
 
         def one_frame(a):
             disk = nt_setup(10.0, a, MDOT, 0.1)
@@ -235,10 +237,15 @@ def main():
             # consumes every pixel so the full render is computed
             return imf.sum() * jnp.float32(1e-25)
 
-        @jax.jit
-        def render_sweep(a0):
-            spins = a0 - 2e-4 * jnp.arange(SWEEP, dtype=jnp.float32)
+        from functools import partial as _partial
+
+        @_partial(jax.jit, static_argnames=("n",))
+        def render_sweep_n(a0, n):
+            spins = a0 - 2e-4 * jnp.arange(n, dtype=jnp.float32)
             return jax.lax.map(one_frame, spins)
+
+        def render_sweep(a0):
+            return render_sweep_n(a0, SWEEP)
 
         sweep0 = np.asarray(render_sweep(jnp.float32(A)))  # warm/compile
         assert np.isfinite(sweep0).all() and (sweep0 > 0).all()
@@ -254,6 +261,25 @@ def main():
         dt = time.perf_counter() - t0
         assert np.isfinite(acc)
 
+        # device-only frame time by the two-size slope: t(SWEEP) -
+        # t(SWEEP/2) cancels the per-dispatch relay/host latency (~25 ms
+        # here), leaving pure device compute for SWEEP/2 frames.  This is
+        # the drift-attribution metric the round-3 verdict asked for
+        # (headline rays/s includes relay; this number must not).
+        half = SWEEP // 2
+        h0 = np.asarray(render_sweep_n(jnp.float32(A), half))  # warm half
+        assert np.isfinite(h0).all()
+        t_full = t_half = 0.0
+        for i in range(n_rep):
+            t0 = time.perf_counter()
+            np.asarray(render_sweep_n(jnp.float32(A - 1e-6 * (i + 1)), half))
+            t_half += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            np.asarray(render_sweep_n(jnp.float32(A - 2e-6 * (i + 1)), SWEEP))
+            t_full += time.perf_counter() - t0
+        device_ms_per_frame = (t_full - t_half) / (n_rep * half) * 1e3
+        device_rays_per_sec = NPIX * NPIX / (device_ms_per_frame * 1e-3)
+
     rays_per_sec = n_rep * SWEEP * NPIX * NPIX / dt
     baseline = 1e5  # reference: ~1e5 photons/s, 1 CPU core
     print(json.dumps({
@@ -265,6 +291,8 @@ def main():
         "ondevice_f64_err_a998": golden_errs["a998"],
         "ondevice_f64_err_traced": err_traced,
         "fast_path_err_vs_f64": float(err32),
+        "device_ms_per_frame": device_ms_per_frame,
+        "device_rays_per_sec": device_rays_per_sec,
         **march,
     }))
     return 0

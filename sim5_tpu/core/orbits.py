@@ -75,10 +75,25 @@ def ell_from_Omega(Omega, m: Metric):
 def gfactorK(r, a, l):
     """g-factor (redshift) for Keplerian equatorial emission toward a photon
     with motion constant lambda=l.  (sim5kerr.c:1128-1141)
+
+    Evaluated through the Bardeen-Press-Teukolsky circular-orbit identity
+      1 - 2/r (1-a Om)^2 - (r^2+a^2) Om^2 = r^{3/2}(r^{3/2}-3 r^{1/2}+2a)
+                                            / (r^{3/2}+a)^2
+    with the Keplerian factor in FACTORED form s^3-3s+2a =
+    (s-x1)(s-x2)(s-x3), s = sqrt(r), x_i the cubic's trig-closed-form
+    roots: the direct expression cancels O(1) terms down to ~0.06 near
+    the ISCO at high spin (3e-6 relative in f32); the factored product
+    of root differences is ~1 ulp.  Exact same function in f64.
     """
-    Om = 1.0 / (a + r ** 1.5)
-    return (jnp.sqrt(1.0 - 2.0 / r * (1.0 - a * Om) ** 2 - (r * r + a * a) * Om * Om)
-            / (1.0 - Om * l))
+    s = jnp.sqrt(r)
+    s3_ = s * r                            # r^{3/2}
+    ac = jnp.arccos(jnp.clip(a, -1.0, 1.0))
+    th = ac / 3.0
+    x1 = 2.0 * jnp.cos(th - jnp.pi / 3.0)
+    x2 = 2.0 * jnp.cos(th + jnp.pi / 3.0)
+    x3 = -2.0 * jnp.cos(th)
+    kep = (s - x1) * (s - x2) * (s - x3)   # s^3 - 3 s + 2a, factored
+    return jnp.sqrt(jnp.maximum(s3_ * kep, 0.0)) / (s3_ + a - l)
 
 
 def keplerian_EL(r, a):

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from .. import consts
 from ..core import r_ms
 from ..special.quadrature import simpson_weights
-from ..utils.fastmath import log_accurate, vlog
+from ..utils.fastmath import log_accurate, vlog, sqrt_df
 
 
 class NTDisk(NamedTuple):
@@ -86,12 +86,11 @@ def nt_flux(disk: NTDisk, r):
     a = disk.a
     inside = r <= disk.rms
     rs = jnp.where(inside, disk.rms * 1.0001, r)
-    x = jnp.sqrt(rs)
-    x0 = jnp.sqrt(disk.rms)
     ac = jnp.arccos(jnp.clip(a, -1.0, 1.0))
-    x1 = 2.0 * jnp.cos(ac / 3.0 - jnp.pi / 3.0)
-    x2 = 2.0 * jnp.cos(ac / 3.0 + jnp.pi / 3.0)
-    x3 = -2.0 * jnp.cos(ac / 3.0)
+    th = ac / 3.0
+    x1 = 2.0 * jnp.cos(th - jnp.pi / 3.0)
+    x2 = 2.0 * jnp.cos(th + jnp.pi / 3.0)
+    x3 = -2.0 * jnp.cos(th)
     # Stable evaluation of the PT74 bracket
     #   B = f0 - f1 - f2 - f3,
     #   f0 = x - x0 - 1.5 a ln(x/x0),  f_i = c_i ln((x-x_i)/(x0-x_i)),
@@ -108,22 +107,61 @@ def nt_flux(disk: NTDisk, r):
     # In f64 this is the same function to ~1e-16 (golden gate 1e-10).
     # (log_accurate inside vlog: XLA's f32 TPU log is ~1e-4 relative and
     # would dominate everything; utils/fastmath.py)
-    c1_ = 3.0 * (x1 - a) ** 2 / (x1 * (x1 - x2) * (x1 - x3))
-    c2_ = 3.0 * (x2 - a) ** 2 / (x2 * (x2 - x1) * (x2 - x3))
+    #
+    # f32 conditioning of the pieces (each measured on the 512^2 a=0.998
+    # frame; together they were the residual ~5e-6-of-peak error):
+    # * the partial-fraction weights c1/c2 have factors that collapse at
+    #   extremal spin (a -> 1: x1, x2 -> 1, x_i - a -> 0), where the
+    #   direct subtractions lose ~5e-6 relative; EXACT identities valid
+    #   at every spin replace them:
+    #     x1 - x2 = 2 sqrt(3) sin th,  x2 - x3 = 3 cos th - sqrt(3) sin th
+    #     x1 - a  = sin th (sqrt(3) + 2 sin 2th)
+    #               (from cos th - cos 3th = 2 sin 2th sin th)
+    #     x2 - a  = a (1-a) (1+a) / ((x1-a)(x3-a))
+    #               (the cubic evaluated at a: prod (x_i - a) = a - a^3),
+    #   the last one exact at BOTH ends: 1 - a is exact in fp for
+    #   a in [0.5, 1], and at a -> 0 it degrades gracefully to 0 where
+    #   the true c2 weight is ~1e-17.  c3's factors never collapse.
+    # * x0 - x_i goes through x0^2 - x_i^2 = (rms - 1) - 2 sin^2 th
+    #   -+ sqrt(3) sin 2th (exact expansion of x_i^2), then /(x0 + x_i);
+    # * delta = sqrt(r) - sqrt(rms) is a two-float difference (sqrt_df),
+    #   accurate to ~ulp OF DELTA at the inner edge;
+    # * the shading denominators x - x_i are rebuilt as (x0 - x_i) + delta.
+    s3 = jnp.sqrt(3.0)
+    sth = jnp.sin(th)
+    s2th = jnp.sin(2.0 * th)
+    cth = jnp.cos(th)
+    d12x = 2.0 * s3 * sth                  # x1 - x2
+    d13x = 3.0 * cth + s3 * sth            # x1 - x3
+    d23x = 3.0 * cth - s3 * sth            # x2 - x3
+    x1ma = sth * (s3 + 2.0 * s2th)         # x1 - a
+    x3ma = x3 - a                          # never collapses (<= -1.7)
+    x1ma_s = jnp.where(x1ma == 0.0, 1.0, x1ma)
+    x2ma = a * (1.0 - a) * (1.0 + a) / (x1ma_s * x3ma)
+    x2_s = jnp.where(x2 == 0.0, 1e-300, x2)
+    c1_ = 3.0 * x1ma ** 2 / (x1 * d12x * d13x)
+    c2_ = -3.0 * x2ma ** 2 / (x2_s * d12x * d23x)
     c3_ = 3.0 * (x3 - a) ** 2 / (x3 * (x3 - x1) * (x3 - x2))
-    delta = x - x0
-    C1 = 1.0 - 1.5 * a / x0 - c1_ / (x0 - x1) - c2_ / (x0 - x2) \
-        - c3_ / (x0 - x3)
+    xh, xl = sqrt_df(rs)
+    x = xh
+    x0h, x0l = sqrt_df(disk.rms)
+    x0 = x0h
+    delta = (xh - x0h) + (xl - x0l)
+    rms1 = disk.rms - 1.0
+    x0mx1 = (rms1 - 2.0 * sth * sth - s3 * s2th) / (x0 + x1)
+    x0mx2 = (rms1 - 2.0 * sth * sth + s3 * s2th) / (x0 + x2)
+    x0mx3 = x0 + 2.0 * cth
+    C1 = 1.0 - 1.5 * a / x0 - c1_ / x0mx1 - c2_ / x0mx2 - c3_ / x0mx3
     B = (delta * C1 + 1.5 * a * vlog(delta / x0)
-         + c1_ * vlog(delta / (x0 - x1))
-         + c2_ * vlog(delta / (x0 - x2))
-         + c3_ * vlog(delta / (x0 - x3)))
+         + c1_ * vlog(delta / x0mx1)
+         + c2_ * vlog(delta / x0mx2)
+         + c3_ * vlog(delta / x0mx3))
     # denominator x^3 - 3x + 2a in factored form: x1,x2,x3 ARE its roots
     # by construction, and the expanded polynomial cancels at high spin
     # (a=0.998: value 0.036 from terms ~3 -> 1e-5 rel err in f32); the
     # product of O(1) differences is ~1 ulp
     F = 1.0 / (4.0 * jnp.pi * rs) * 1.5 \
-        / (x * x * ((x - x1) * (x - x2) * (x - x3))) * B
+        / (x * x * ((x0mx1 + delta) * (x0mx2 + delta) * (x0mx3 + delta))) * B
     # normalization: F ~ mdot/m * 9.1721376255e+28 erg/cm2/s (sim5disk-nt.c:137-145)
     out = 9.1721376255e+28 * F * disk.mdot / disk.M
     return jnp.where(inside, 0.0, out)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..special import (
     jacobi_sncndn, jacobi_icn, jacobi_isn,
-    quartic_roots, sort_quartic_roots, polish_quartic_real_roots,
+    quartic_roots, sort_quartic_roots, polish_quartic_real_roots_df,
     integral_R_rp_re, integral_R_rp_re_inf,
     integral_R_rp_cc2_inf, integral_R_rp_cc2,
     integral_R_r0_re, integral_R_r1_re, integral_R_r2_re,
@@ -148,12 +148,56 @@ def _theta_phi_cum(g: Geodesic, P):
 # root finding & classification
 # ---------------------------------------------------------------------------
 
+def _rc_geometry(t1, t2, tu, tv):
+    """Stable RC-branch elliptic geometry for two real roots t1 > t2 and a
+    complex pair tu +- i tv.
+
+    Returns (A, B, AmB, mm, mmc) with A = |t1 - (tu+itv)|, B = |t2 - .|,
+    AmB = A - B and mmc = 1 - mm, the last two in cancellation-free product
+    forms.  Near the RC <-> RR transition (tv -> 0, the marginally-plunging
+    rays just inside the critical curve) mm -> 1 with complement
+    O(tv^2): the direct subtractions A - B and 1 - mm lose ALL digits in
+    f32 there (the fast path's dominant image error, ~4e-4 of peak),
+    while these forms keep ~1 ulp:
+      A - B     = (t1-t2)(t1+t2-2tu)/(A+B)
+      1 - mm    = (t1-t2)^2 (hm1+hm2)(hp1+hp2) / (4 A B (A+B)^2)
+    where hm = A - (t1-tu), hp = A + (t1-tu) etc. are evaluated through
+    the hypot identity  hypot(x,v) -+ x = v^2/(hypot(x,v) +- x)  on the
+    cancelling side.
+    """
+    x1 = t1 - tu
+    x2 = t2 - tu
+    A = jnp.sqrt(x1 * x1 + tv * tv)
+    B = jnp.sqrt(x2 * x2 + tv * tv)
+    tv2 = tv * tv
+    hm1 = jnp.where(x1 > 0.0, tv2 / (A + x1), A - x1)
+    hp1 = jnp.where(x1 < 0.0, tv2 / (A - x1), A + x1)
+    hm2 = jnp.where(x2 > 0.0, tv2 / (B + x2), B - x2)
+    hp2 = jnp.where(x2 < 0.0, tv2 / (B - x2), B + x2)
+    ApB = A + B
+    AmB = (t1 - t2) * (x1 + x2) / ApB
+    mm = ((ApB) ** 2 - (t1 - t2) ** 2) / (4.0 * A * B)
+    mmc = ((t1 - t2) ** 2 * (hm1 + hm2) * (hp1 + hp2)
+           / (4.0 * A * B * ApB ** 2))
+    return A, B, AmB, jnp.clip(mm, 0.0, 1.0), jnp.clip(mmc, 1e-300, 1.0)
+
+
+def _cc_complement(b1, a1, b2, a2_, A_cc, B_cc):
+    """Stable CC-branch complement 1 - mm_cc = ((A-B)/(A+B))^2 via the
+    cancellation-free difference A - B = 4 a1 a2 / (A + B) (valid because
+    A^2 - B^2 = (a1+a2)^2 - (a1-a2)^2 exactly).  mm_cc -> 1 for
+    marginally-critical CC rays (a1 a2 -> 0), the inside-the-shadow twin
+    of the RC degeneracy above."""
+    AmB = 4.0 * a1 * a2_ / (A_cc + B_cc)
+    return AmB, jnp.clip((AmB / (A_cc + B_cc)) ** 2, 1e-300, 1.0)
+
+
 def _R_roots(a, l, q, r0):
     """Quartic roots of R(r) = r^4 + (a^2-l^2-q) r^2 + 2(q+(l-a)^2) r - a^2 q,
     trajectory classification against observation radius r0, periastron and
     Rpc (position integral infinity->periastron).
 
-    Returns (rr, ri, nrr, gtype, rp, Rpc, status).
+    Returns (rr, rr_lo, ri, nrr, gtype, rp, Rpc, status).
     (reference: geodesic_priv_R_roots, sim5kerr-geod.c:986-1104)
     """
     a2 = a * a
@@ -162,17 +206,25 @@ def _R_roots(a, l, q, r0):
     c0 = -a2 * q                      # constant
     re, im, _n = quartic_roots(jnp.zeros_like(a), c2, c1, c0)
     rr, ri, nrr = sort_quartic_roots(re, im)
-    # compensated-Newton polish: the elliptic moduli below are cross-ratios
-    # of root DIFFERENCES, which amplify the closed-form solver's last-ulp
-    # errors ~40x in f32 (the fast path's dominant error source); one
-    # error-free-transform Newton step lands each real root at ~1 ulp
-    rr = polish_quartic_real_roots(rr, ri, c2, c1, c0)
+    # two-float compensated-Newton polish: the elliptic moduli below are
+    # cross-ratios of root DIFFERENCES, whose accuracy for near-critical
+    # rays (periastron at the photon ring, r1 -> r2) must be ~ulp OF THE
+    # GAP, far below ulp(r1) in f32 -- the fast path's dominant image
+    # error (see polish_quartic_real_roots_df).  The low parts ride the
+    # Geodesic pytree so every consumer can form accurate differences.
+    rr, rr_lo = polish_quartic_real_roots_df(rr, ri, c2, c1, c0)
 
     is4 = nrr == 4
     is2 = nrr == 2
     is0 = nrr == 0
 
     r1, r2, r3, r4 = rr[..., 0], rr[..., 1], rr[..., 2], rr[..., 3]
+
+    def dd(i, j, dummy):
+        """Accurate masked root difference rr[i]-rr[j] (two-float)."""
+        d = ((rr[..., i] - rr[..., j])
+             + (rr_lo[..., i] - rr_lo[..., j]))
+        return jnp.where(is4, d, dummy)
 
     # --- classification (nrr==4)
     dbl_root = is4 & (jnp.abs(r1 - r2) < 1e-8)
@@ -188,28 +240,28 @@ def _R_roots(a, l, q, r0):
                        jnp.where(dbl_root, GD_ERROR_TYPE_RR_DOUBLE, GD_OK))
     status = jnp.asarray(status, jnp.int32)
 
-    # --- RR (outer) branch: rp = r1, Rpc via isn
-    s1 = jnp.where(is4, r1, 8.0)
-    s2 = jnp.where(is4, r2, 6.0)
-    s3 = jnp.where(is4, r3, 4.0)
-    s4 = jnp.where(is4, r4, 2.0)
-    m4 = ((s2 - s3) * (s1 - s4)) / ((s2 - s4) * (s1 - s3))
-    c4 = 2.0 / jnp.sqrt((s1 - s3) * (s2 - s4))
-    z4 = jnp.clip(jnp.sqrt((s2 - s4) / (s1 - s4)), 0.0, 1.0)
+    # --- RR (outer) branch: rp = r1, Rpc via isn.  All moduli are formed
+    # from the two-float root differences (d12 is the near-critical gap)
+    d12 = dd(0, 1, 2.0)
+    d13 = dd(0, 2, 4.0)
+    d14 = dd(0, 3, 6.0)
+    d23 = dd(1, 2, 2.0)
+    d24 = dd(1, 3, 4.0)
+    d34 = dd(2, 3, 2.0)
+    m4 = (d23 * d14) / (d24 * d13)
+    c4 = 2.0 / jnp.sqrt(d13 * d24)
+    z4 = jnp.clip(jnp.sqrt(d24 / d14), 0.0, 1.0)
 
-    # --- RC branch: two real roots + complex pair u +- iv
+    # --- RC branch: two real roots + complex pair u +- iv (stable A-B and
+    # complement near tv -> 0, see _rc_geometry)
     t1 = jnp.where(is2, r1, 6.0)
     t2 = jnp.where(is2, r2, 2.0)
     tu = jnp.where(is2, rr[..., 2], 0.0)
     tv = jnp.where(is2, jnp.abs(ri[..., 2]), 1.0)
-    A_rc = jnp.sqrt((t1 - tu) ** 2 + tv ** 2)
-    B_rc = jnp.sqrt((t2 - tu) ** 2 + tv ** 2)
-    mm_rc = ((A_rc + B_rc) ** 2 - (t1 - t2) ** 2) / (4.0 * A_rc * B_rc)
-    z_rc = (A_rc - B_rc) / (A_rc + B_rc)
+    A_rc, B_rc, AmB_rc, mm_rc, mmc_rc = _rc_geometry(t1, t2, tu, tv)
+    z_rc = AmB_rc / (A_rc + B_rc)
     feps = 8.0 * jnp.finfo(m4.dtype).eps
     az_rc = jnp.clip(jnp.abs(z_rc), feps, 1.0 - feps)
-    mm_rc_s = jnp.clip(mm_rc, 0.0, 1.0 - feps)
-    mp_rc = mm_rc_s / (mm_rc_s - 1.0)
 
     # --- CC branch: two complex pairs b1 +- ia1, b2 +- ia2
     b1 = jnp.where(is0, rr[..., 0], 0.0)
@@ -218,12 +270,15 @@ def _R_roots(a, l, q, r0):
     a2_ = jnp.where(is0, jnp.abs(ri[..., 2]), 2.0)
     A_cc = jnp.sqrt((b1 - b2) ** 2 + (a1 + a2_) ** 2)
     B_cc = jnp.sqrt((b1 - b2) ** 2 + (a1 - a2_) ** 2)
-    g1num = jnp.maximum(4.0 * a1 * a1 - (A_cc - B_cc) ** 2, 1e-30)
+    AmB_cc, mmc_cc = _cc_complement(b1, a1, b2, a2_, A_cc, B_cc)
+    g1num = jnp.maximum(4.0 * a1 * a1 - AmB_cc ** 2, 1e-30)
     g1den = jnp.maximum((A_cc + B_cc) ** 2 - 4.0 * a1 * a1, 1e-30)
     g1 = jnp.sqrt(g1num / g1den)
     mm_cc = 4.0 * A_cc * B_cc / (A_cc + B_cc) ** 2
     zg = 1.0 / g1
-    w_cc = jnp.sqrt(zg * zg / (1.0 + zg * zg))
+    w2_cc = zg * zg / (1.0 + zg * zg)       # w^2; 1 - w^2 = 1/(1+zg^2)
+    w2c_cc = 1.0 / (1.0 + zg * zg)
+    w_cc = jnp.sqrt(w2_cc)
 
     # Every Rpc branch reduces to (prefactor x) RF evaluations, so instead
     # of paying ~6 masked Carlson passes per pixel (isn + K + icn_signed's
@@ -234,27 +289,37 @@ def _R_roots(a, l, q, r0):
     #   slot 1: RR isn | RC icn-generic | CC itn-as-isn
     #   slot 2: RR_BH K(m4) | RC negative-z extension F | CC K(mm_cc)
     one = jnp.ones_like(m4)
-    # exact-complement forms for the RR slot: 1 - z4^2 = (s1-s2)/(s1-s4)
-    # and 1 - m4 z4^2 = (s1-s2)/(s1-s3) -- pure root-difference ratios.
-    # The squared forms cancel catastrophically for near-critical rays
-    # (r1 -> r2 at the photon ring), which dominated the f32 fast path's
-    # Rpc error (measured 2.2e-5 rel; the ratio forms are ~1 ulp).
-    x1c = jnp.where(is4, (s1 - s2) / (s1 - s4),
-          jnp.where(is2, az_rc * az_rc, 1.0 - w_cc * w_cc))
-    y1c = jnp.where(is4, (s1 - s2) / (s1 - s3),
-          jnp.where(is2, 1.0 - mm_rc * (1.0 - az_rc * az_rc),
-                    1.0 - mm_cc * w_cc * w_cc))
+    # exact-complement forms for the RR slot: 1 - z4^2 = d12/d14 and
+    # 1 - m4 z4^2 = d12/d13 -- pure root-difference ratios (with d12 the
+    # TWO-FLOAT gap).  The squared forms cancel catastrophically for
+    # near-critical rays (r1 -> r2 at the photon ring), which dominated
+    # the f32 fast path's Rpc error (measured 2.2e-5 rel; the ratio forms
+    # with the df gap are ~1 ulp).
+    x1c = jnp.where(is4, d12 / d14,
+          jnp.where(is2, az_rc * az_rc, w2c_cc))
+    # 1 - mm (1 - az^2) = mmc + mm az^2: both terms positive, no
+    # subtraction -- exact at the mm -> 1 degeneracy (same for CC)
+    y1c = jnp.where(is4, d12 / d13,
+          jnp.where(is2, mmc_rc + mm_rc * az_rc * az_rc,
+                    mmc_cc + mm_cc * w2c_cc))
     rf1 = rf(x1c, y1c, one)
-    x2c = jnp.where(is2, 1.0 - az_rc * az_rc, jnp.zeros_like(m4))
-    # 1 - m4 = (s1-s2)(s3-s4)/((s2-s4)(s1-s3)) exactly (same cancellation)
-    y2c = jnp.where(is4, ((s1 - s2) * (s3 - s4)) / ((s2 - s4) * (s1 - s3)),
-          jnp.where(is2, 1.0 - mp_rc * az_rc * az_rc, 1.0 - mm_cc))
-    rf2 = rf(x2c, y2c, one)
+    # rf2 slot: is4 takes K'(m4) = RF(0, 1-m4, 1); is2 takes the
+    # HOMOGENEITY-TRANSFORMED negative-z icn extension
+    #   2/sqrt(1-m) az RF(1-az^2, 1 - m/(m-1) az^2, 1)
+    #     = 2 az RF(mmc (1-az^2), mmc + mm az^2, mmc)
+    # which never forms the catastrophic 1/(mm-1); is0 takes K(mm_cc)
+    # through the stable complement.
+    x2c = jnp.where(is2, mmc_rc * (1.0 - az_rc * az_rc), jnp.zeros_like(m4))
+    # 1 - m4 = d12 d34 / (d24 d13) exactly (same cancellation)
+    y2c = jnp.where(is4, (d12 * d34) / (d24 * d13),
+          jnp.where(is2, mmc_rc + mm_rc * az_rc * az_rc, mmc_cc))
+    z2c = jnp.where(is2, mmc_rc, one)
+    rf2 = rf(x2c, y2c, z2c)
 
     Rpc_rr = c4 * z4 * rf1
     Rpc_bh = c4 * rf2
     icn1 = jnp.sqrt(1.0 - az_rc * az_rc) * rf1
-    neg = 2.0 / jnp.sqrt(1.0 - mm_rc_s) * az_rc * rf2
+    neg = 2.0 * az_rc * rf2
     Rpc_rc = jnp.where(z_rc >= 0.0, icn1, neg + icn1) / jnp.sqrt(A_rc * B_rc)
     # total integral infinity -> rp.  The tangent half-map z(r) of BF
     # 260.00 crosses its pole (z = +-inf, u = K) at r* = a1/g1 + b1; the
@@ -270,7 +335,8 @@ def _R_roots(a, l, q, r0):
                    jnp.where(is2, t1, b1 - a1 * g1))
     Rpc = jnp.where(is4, jnp.where(inner, Rpc_bh, Rpc_rr),
                     jnp.where(is2, Rpc_rc, Rpc_cc))
-    return rr, ri, jnp.asarray(nrr, jnp.int32), jnp.asarray(gtype, jnp.int32), rp, Rpc, status
+    return (rr, rr_lo, ri, jnp.asarray(nrr, jnp.int32),
+            jnp.asarray(gtype, jnp.int32), rp, Rpc, status)
 
 
 def _T_roots(a, l, q, m0):
@@ -344,7 +410,8 @@ def geodesic_init_inf(i, a, alpha, beta):
     bad_q = q == 0.0
     q = jnp.where(bad_q, 1.0, q)   # dummy to keep downstream finite
 
-    rr, ri, nrr, gtype, rp, Rpc, st_r = _R_roots(a_eff, l, q, jnp.full_like(a_eff, _BIG))
+    rr, rr_lo, ri, nrr, gtype, rp, Rpc, st_r = _R_roots(
+        a_eff, l, q, jnp.full_like(a_eff, _BIG))
     m2p, m2m, mm, mK, st_t = _T_roots(a_eff, l, q, cos_i)
 
     status = jnp.where(bad_spin, GD_ERROR_SPIN_RANGE,
@@ -355,7 +422,7 @@ def geodesic_init_inf(i, a, alpha, beta):
     g = Geodesic(a_eff, alpha, beta, i, cos_i, l, q, rr, ri, nrr, gtype,
                  m2p, m2m, mm, mK, rp, Rpc,
                  jnp.zeros_like(a_eff), jnp.zeros_like(a_eff),
-                 jnp.asarray(status, jnp.int32))
+                 jnp.asarray(status, jnp.int32), rr_lo)
     # Tpp = 2 mK icn(0, mm) = 2 mK K(mm) -- evaluate the complete integral
     # directly (icn's masked negative/m0/m1 branches would cost 3 extra RF
     # evaluations per pixel for nothing).  The complement 1 - mm is formed
@@ -387,20 +454,23 @@ def geodesic_init_inf(i, a, alpha, beta):
     eps_direct = (m2p - cos_i ** 2) / m2p
     eps = jnp.where(eps_direct > 1e-6, eps_direct, eps_ident)
     eps = jnp.clip(eps, 1e-300, 1.0)
-    # 1 - mm*eps = (1-eps) + eps*(1-mm) with the exact complement mm_c:
-    # stable when both mm -> 1 and eps -> 1 (near-polar turning points)
-    Tip = mK * jnp.sqrt(eps) * rf(1.0 - eps, (1.0 - eps) + eps * mm_c,
-                                  jnp.ones_like(eps))
-    # vortical (q < 0) rays: Tip is the dn-form integral
+    # vortical (q < 0) rays take the dn-form integral
     # mK * idn(cos_i/sqrt(m2p), mm) with idn(y) = isn(sqrt((1-y^2)/mm))
-    # (see _theta_pol_vortical); reuses the cancellation-free eps = 1-y^2
-    # upper clamp strictly below 1: at sn2v == 1 the rf gradient diverges
+    # (see _theta_pol_vortical); reuses the cancellation-free eps = 1-y^2.
+    # Upper clamp strictly below 1: at sn2v == 1 the rf gradient diverges
     # (dRF/dx ~ RD(..., x->0)), which would NaN-poison the q > 0 pixels
-    # through the where below even though their value branch is untaken
+    # through the select even though their value branch is untaken.
+    # Both branches are the same sqrt(e) RF(1-e, y, 1) shape, so the
+    # arguments are mask-selected into ONE fused RF slot (one of five
+    # per-pixel RF evaluations on the image fast path):
+    #   q > 0: e = eps,  y = 1 - mm eps  = (1-eps) + eps mm_c  (exact
+    #          complement mm_c -- stable when mm -> 1 and eps -> 1)
+    #   q < 0: e = sn2v, y = 1 - mm sn2v (direct; mm < 1 there)
+    qneg = q < 0.0
     sn2v = jnp.clip(eps / jnp.maximum(mm, 1e-300), 0.0, 1.0 - 1e-12)
-    Tip_v = mK * jnp.sqrt(sn2v) * rf(1.0 - sn2v, 1.0 - mm * sn2v,
-                                     jnp.ones_like(sn2v))
-    Tip = jnp.where(q < 0.0, Tip_v, Tip)
+    e_sel = jnp.where(qneg, sn2v, eps)
+    y_sel = jnp.where(qneg, 1.0 - mm * sn2v, (1.0 - eps) + eps * mm_c)
+    Tip = mK * jnp.sqrt(e_sel) * rf(1.0 - e_sel, y_sel, jnp.ones_like(e_sel))
     return g._replace(Tpp=Tpp, Tip=Tip)
 
 
@@ -416,7 +486,7 @@ def geodesic_init_src(a, r, m, k, ppc):
     l, q = photon_motion_constants(a, r, m, k)
     a_eff = jnp.maximum(1e-8, a)
 
-    rr, ri, nrr, gtype, rp, Rpc, st_r = _R_roots(a_eff, l, q, r)
+    rr, rr_lo, ri, nrr, gtype, rp, Rpc, st_r = _R_roots(a_eff, l, q, r)
     m2p, m2m, mm, mK, st_t = _T_roots(a_eff, l, q, m)
     status = jnp.where(st_r != 0, st_r, st_t)
 
@@ -424,7 +494,7 @@ def geodesic_init_src(a, r, m, k, ppc):
                  jnp.zeros_like(a_eff), jnp.zeros_like(a_eff), l, q,
                  rr, ri, nrr, gtype, m2p, m2m, mm, mK, rp, Rpc,
                  jnp.zeros_like(a_eff), jnp.zeros_like(a_eff),
-                 jnp.asarray(status, jnp.int32))
+                 jnp.asarray(status, jnp.int32), rr_lo)
 
     Tmp = _theta_int(g, m)
     Tpp = 2.0 * _theta_int(g, jnp.zeros_like(a_eff))
@@ -504,34 +574,34 @@ def geodesic_P_int(g: Geodesic, r, ppc):
     r2 = jnp.where(is4, g.rr[..., 1], 6.0)
     r3 = jnp.where(is4, g.rr[..., 2], 4.0)
     r4 = jnp.where(is4, g.rr[..., 3], 2.0)
-    mm4 = ((r2 - r3) * (r1 - r4)) / ((r2 - r4) * (r1 - r3))
+    d13 = jnp.where(is4, g.root_diff(0, 2), 4.0)
+    d14 = jnp.where(is4, g.root_diff(0, 3), 6.0)
+    d23 = jnp.where(is4, g.root_diff(1, 2), 2.0)
+    d24 = jnp.where(is4, g.root_diff(1, 3), 4.0)
+    mm4 = (d23 * d14) / (d24 * d13)
     # RR: argument sqrt(((r2-r4)(r-r1))/((r1-r4)(r-r2)))
     rs = jnp.where(is4, r, 10.0)
-    arg_rr = jnp.sqrt(jnp.maximum(((r2 - r4) * (rs - r1))
-                                  / ((r1 - r4) * (rs - r2)), 0.0))
+    arg_rr = jnp.sqrt(jnp.maximum((d24 * (rs - r1))
+                                  / (d14 * (rs - r2)), 0.0))
     # RR_BH: argument sqrt((r1-r3)/(r2-r3)*(r2-r)/(r1-r))
     rs_bh = jnp.where(is_bh, r, 3.0)
-    arg_bh = jnp.sqrt(jnp.maximum((r1 - r3) / (r2 - r3)
+    arg_bh = jnp.sqrt(jnp.maximum(d13 / d23
                                   * (r2 - rs_bh) / (r1 - rs_bh), 0.0))
     # RR and RR_BH lanes are mutually exclusive and share c4/mm4, so one
     # isn slot serves both
     arg4 = jnp.minimum(jnp.where(is_bh, arg_bh, arg_rr), 1.0)
-    c4 = 2.0 / jnp.sqrt((r1 - r3) * (r2 - r4))
+    c4 = 2.0 / jnp.sqrt(d13 * d24)
 
-    # RC
+    # RC (stable A-B / complement forms, see _rc_geometry)
     t1 = jnp.where(is_rc, g.rr[..., 0], 6.0)
     t2 = jnp.where(is_rc, g.rr[..., 1], 2.0)
     tu = jnp.where(is_rc, g.rr[..., 2], 0.0)
     tv = jnp.where(is_rc, jnp.abs(g.ri[..., 2]), 1.0)
-    A = jnp.sqrt((t1 - tu) ** 2 + tv ** 2)
-    B = jnp.sqrt((t2 - tu) ** 2 + tv ** 2)
-    mm_rc = ((A + B) ** 2 - (t1 - t2) ** 2) / (4.0 * A * B)
+    A, B, AmB, mm_rc, mmc_rc = _rc_geometry(t1, t2, tu, tv)
     rs_rc = jnp.where(is_rc, r, 10.0)
-    z_rc = ((A - B) * rs_rc + t1 * B - t2 * A) / ((A + B) * rs_rc - t1 * B - t2 * A)
+    z_rc = ((AmB) * rs_rc + t1 * B - t2 * A) / ((A + B) * rs_rc - t1 * B - t2 * A)
     feps = 8.0 * jnp.finfo(mm4.dtype).eps
     az_rc = jnp.clip(jnp.abs(z_rc), feps, 1.0 - feps)
-    mm_rc_s = jnp.clip(mm_rc, 0.0, 1.0 - feps)
-    mp_rc = mm_rc_s / (mm_rc_s - 1.0)
 
     # CC
     b1 = jnp.where(is_cc, g.rr[..., 0], 0.0)
@@ -540,34 +610,39 @@ def geodesic_P_int(g: Geodesic, r, ppc):
     a2_ = jnp.where(is_cc, jnp.abs(g.ri[..., 2]), 2.0)
     A_cc = jnp.sqrt((b1 - b2) ** 2 + (a1 + a2_) ** 2)
     B_cc = jnp.sqrt((b1 - b2) ** 2 + (a1 - a2_) ** 2)
-    g1num = jnp.maximum(4.0 * a1 * a1 - (A_cc - B_cc) ** 2, 1e-30)
+    AmB_cc, mmc_cc = _cc_complement(b1, a1, b2, a2_, A_cc, B_cc)
+    g1num = jnp.maximum(4.0 * a1 * a1 - AmB_cc ** 2, 1e-30)
     g1den = jnp.maximum((A_cc + B_cc) ** 2 - 4.0 * a1 * a1, 1e-30)
     g1 = jnp.sqrt(g1num / g1den)
     mm_cc = 4.0 * A_cc * B_cc / (A_cc + B_cc) ** 2
     rs_cc = jnp.where(is_cc, r, 10.0)
     z_cc = (rs_cc - b1 + a1 * g1) / (a1 + b1 * g1 - g1 * rs_cc)
-    w_cc = jnp.sqrt(z_cc * z_cc / (1.0 + z_cc * z_cc))
+    w2_cc = z_cc * z_cc / (1.0 + z_cc * z_cc)
+    w2c_cc = 1.0 / (1.0 + z_cc * z_cc)
+    w_cc = jnp.sqrt(w2_cc)
 
     # two fused Carlson slots across all types (see _R_roots for the same
     # technique; the per-call special-function count drops from ~7 RF
     # passes to 2):
     #   slot 1: RR/RR_BH isn(arg4) | RC icn-generic | CC itn(|z_cc|)
-    #   slot 2: RC negative-z extension F | CC K(mm_cc)
+    #   slot 2: RC negative-z extension (homogeneity form) | CC K(mm_cc)
     one = jnp.ones_like(mm4)
     x1c = jnp.where(is4, 1.0 - arg4 * arg4,
-          jnp.where(is_rc, az_rc * az_rc, 1.0 - w_cc * w_cc))
+          jnp.where(is_rc, az_rc * az_rc, w2c_cc))
     y1c = jnp.where(is4, 1.0 - mm4 * arg4 * arg4,
-          jnp.where(is_rc, 1.0 - mm_rc * (1.0 - az_rc * az_rc),
-                    1.0 - mm_cc * w_cc * w_cc))
+          jnp.where(is_rc, mmc_rc + mm_rc * az_rc * az_rc,
+                    mmc_cc + mm_cc * w2c_cc))
     rf1 = rf(x1c, y1c, one)
-    x2c = jnp.where(is_rc, 1.0 - az_rc * az_rc, jnp.zeros_like(mm4))
-    y2c = jnp.where(is_rc, 1.0 - mp_rc * az_rc * az_rc, 1.0 - mm_cc)
-    rf2 = rf(x2c, y2c, one)
+    x2c = jnp.where(is_rc, mmc_rc * (1.0 - az_rc * az_rc),
+                    jnp.zeros_like(mm4))
+    y2c = jnp.where(is_rc, mmc_rc + mm_rc * az_rc * az_rc, mmc_cc)
+    z2c = jnp.where(is_rc, mmc_rc, one)
+    rf2 = rf(x2c, y2c, z2c)
 
     R_rr = c4 * arg4 * rf1
     R_bh = R_rr
     icn1 = jnp.sqrt(1.0 - az_rc * az_rc) * rf1
-    neg = 2.0 / jnp.sqrt(1.0 - mm_rc_s) * az_rc * rf2
+    neg = 2.0 * az_rc * rf2
     R_rc = jnp.where(z_rc >= 0.0, icn1, neg + icn1) / jnp.sqrt(A * B)
     # monotone continuation past the z-pole at r* = a1/g1 + b1 (u = K):
     # u(r) = itn(z) on the near side (z >= 0), 2K - itn(|z|) beyond -- the
@@ -630,16 +705,24 @@ def geodesic_position_rad(g: Geodesic, P):
     r2 = jnp.where(is4, g.rr[..., 1], 6.0)
     r3 = jnp.where(is4, g.rr[..., 2], 4.0)
     r4 = jnp.where(is4, g.rr[..., 3], 2.0)
-    m4 = ((r2 - r3) * (r1 - r4)) / ((r2 - r4) * (r1 - r3))
-    x4 = 0.5 * jnp.abs(Ps - g.Rpc) * jnp.sqrt((r1 - r3) * (r2 - r4))
+    # accurate two-float root differences (see _R_roots): for near-critical
+    # rays the gap d12 = r1 - r2 -> 0 controls both the modulus complement
+    # and the radius inversion, and must be accurate to ~ulp OF THE GAP
+    d12 = jnp.where(is4, g.root_diff(0, 1), 2.0)
+    d13 = jnp.where(is4, g.root_diff(0, 2), 4.0)
+    d14 = jnp.where(is4, g.root_diff(0, 3), 6.0)
+    d23 = jnp.where(is4, g.root_diff(1, 2), 2.0)
+    d24 = jnp.where(is4, g.root_diff(1, 3), 4.0)
+    d34 = jnp.where(is4, g.root_diff(2, 3), 2.0)
+    m4 = (d23 * d14) / (d24 * d13)
+    m4c = jnp.clip((d12 * d34) / (d24 * d13), 1e-300, 1.0)
+    x4 = 0.5 * jnp.abs(Ps - g.Rpc) * jnp.sqrt(d13 * d24)
 
     t1 = jnp.where(is_rc, g.rr[..., 0], 6.0)
     t2 = jnp.where(is_rc, g.rr[..., 1], 2.0)
     tu = jnp.where(is_rc, g.rr[..., 2], 0.0)
     tv = jnp.where(is_rc, jnp.abs(g.ri[..., 2]), 1.0)
-    A = jnp.sqrt((t1 - tu) ** 2 + tv ** 2)
-    B = jnp.sqrt((t2 - tu) ** 2 + tv ** 2)
-    m2 = ((A + B) ** 2 - (t1 - t2) ** 2) / (4.0 * A * B)
+    A, B, AmB, m2, m2c = _rc_geometry(t1, t2, tu, tv)
     # RC valid domain is 0 < P < Rpc only (no turning point)
     Ps_rc = jnp.where(P_valid & (Pf < g.Rpc), Ps, 0.5 * g.Rpc)
 
@@ -651,26 +734,39 @@ def geodesic_position_rad(g: Geodesic, P):
     a2_ = jnp.where(is_cc, jnp.abs(g.ri[..., 2]), 2.0)
     A_cc = jnp.sqrt((b1 - b2) ** 2 + (a1 + a2_) ** 2)
     B_cc = jnp.sqrt((b1 - b2) ** 2 + (a1 - a2_) ** 2)
-    g1num = jnp.maximum(4.0 * a1 * a1 - (A_cc - B_cc) ** 2, 1e-30)
+    AmB_cc, mmc_cc = _cc_complement(b1, a1, b2, a2_, A_cc, B_cc)
+    g1num = jnp.maximum(4.0 * a1 * a1 - AmB_cc ** 2, 1e-30)
     g1den = jnp.maximum((A_cc + B_cc) ** 2 - 4.0 * a1 * a1, 1e-30)
     g1 = jnp.sqrt(g1num / g1den)
     mm_cc = 4.0 * A_cc * B_cc / (A_cc + B_cc) ** 2
     Ps_cc = jnp.where(P_valid & (Pf <= g.Rpc), Ps, 0.5 * g.Rpc)
 
     # one AGM evaluation serves all branches (RR/RR_BH take sn, RC takes
-    # cn, CC takes sn/cn): per-type arguments are mask-selected first
+    # cn, CC takes sn/cn): per-type arguments are mask-selected first.
+    # The complementary parameter rides along so the AGM keeps full
+    # relative accuracy at m -> 1 (RR near-critical rays: mc = m4c is the
+    # cancellation-free df product; RC/CC complements are benign)
     u_j = jnp.where(is4, x4,
                     jnp.where(is_cc, 0.5 * (A_cc + B_cc) * (g.Rpc - Ps_cc),
                               jnp.sqrt(A * B) * (g.Rpc - Ps_rc)))
     m_j = jnp.where(is4, m4, jnp.where(is_cc, mm_cc, m2))
-    sn_j, cn, _dn = jacobi_sncndn(u_j, m_j)
+    mc_j = jnp.where(is4, m4c, jnp.where(is_cc, mmc_cc, m2c))
+    sn_j, cn, _dn = jacobi_sncndn(u_j, m_j, mc=mc_j)
     sn2 = sn_j ** 2
-    r_rr = (r1 * (r2 - r4) - r2 * (r1 - r4) * sn2) / (r2 - r4 - (r1 - r4) * sn2)
+    # RR radius by the exact-identity form r = r2 + d12 d24 / D with
+    # D = d24 cn^2 - d12 sn^2: algebraically equal to the sn^2 rational
+    # map, but r - r2 is a PRODUCT of accurate factors (no subtractive
+    # cancellation), so the error scales with (r - periastron) instead of
+    # with ulp(r) -- the property that keeps the near-critical pixels'
+    # flux error ~1e-6 of peak in f32 (the old form: 4e-4)
+    cn2_rr = jnp.where(is4, cn * cn, 0.5)
+    D_rr = d24 * cn2_rr - d12 * sn2
+    r_rr = r2 + d12 * d24 / jnp.where(D_rr != 0.0, D_rr, 1e-300)
     # RR_BH: sn^2 interpolates r2 (P=Rpc) -> r3 (P=0 or 2Rpc) on the
     # inner band:  w = sn^2 (r2-r3)/(r1-r3);  r = (r2 - w r1)/(1 - w)
-    w_bh = sn2 * (r2 - r3) / (r1 - r3)
+    w_bh = sn2 * d23 / d13
     r_bh_ = (r2 - w_bh * r1) / (1.0 - w_bh)
-    r_rc = (t2 * A - t1 * B - (t2 * A + t1 * B) * cn) / ((A - B) - (A + B) * cn)
+    r_rc = (t2 * A - t1 * B - (t2 * A + t1 * B) * cn) / (AmB - (A + B) * cn)
     r_rc = jnp.where(Pf > g.Rpc, jnp.nan, r_rc)   # RC has no turning point
     # CC: r = (z (a1 + b1 g1) + b1 - a1 g1) / (1 + g1 z),  z = sn/cn.
     # cn is mask-selected to 0.5 on non-CC lanes: their sn can hit 1 /

@@ -55,7 +55,21 @@ class Geodesic(NamedTuple):
     Tpp: jnp.ndarray      # T-integral -mu_plus..mu_plus
     Tip: jnp.ndarray      # T-integral cos_i..mu_plus
     status: jnp.ndarray   # int32 GD_* status (0 = usable)
+    # (...,4) low parts of rr: root_i = rr_i + rr_lo_i as an unevaluated
+    # two-float pair, so root DIFFERENCES (the elliptic moduli are
+    # cross-ratios of them) stay accurate to ~1 ulp of the difference even
+    # for near-critical rays (r1 -> r2 at the photon ring) in f32 fast
+    # mode.  Zeros when the engine ran in full f64.
+    rr_lo: jnp.ndarray = None
 
     @property
     def ok(self):
         return self.status == GD_OK
+
+    def root_diff(self, i, j):
+        """Accurate root difference rr[i] - rr[j] using the two-float low
+        parts (exact hi-difference by Sterbenz for close roots)."""
+        d = self.rr[..., i] - self.rr[..., j]
+        if self.rr_lo is None:
+            return d
+        return d + (self.rr_lo[..., i] - self.rr_lo[..., j])

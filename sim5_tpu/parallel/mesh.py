@@ -95,31 +95,57 @@ def render_disk_image_sharded(mesh: Mesh, M, a, mdot, alpha_visc, incl,
                              npix_x, npix_y)
 
 
-def fit_step_sharded(mesh: Mesh, params, target_image, incl,
-                     npix_x=64, npix_y=64, lr=1e-3):
-    """One gradient step of fitting disk parameters (M, a, mdot) to a target
-    image -- the "training step" of this framework.  Pixels are sharded over
-    the mesh (data parallel); the scalar loss and parameter gradients are
-    reduced across devices by XLA collectives (grad all-reduce).
+def fit_step_sharded(mesh: Mesh, params, target_image, incl=None,
+                     npix_x=64, npix_y=64, lr=1e-2, opt_state=None):
+    """One Adam step of fitting disk parameters to a target image -- the
+    "training step" of this framework.  Pixels are sharded over the mesh
+    (data parallel); the scalar loss and parameter gradients are reduced
+    across devices by XLA collectives (grad all-reduce).
 
-    Returns (new_params, loss).
+    `params` is (M, a, mdot) with `incl` held fixed, or (M, a, mdot, incl)
+    to fit the inclination too (the render is differentiable in all four).
+    The loss is normalized by the target's power, mean((img - target)^2) /
+    mean(target^2), so it is O(1) for any disk configuration and the
+    optimizer needs no hand-tuned scale.  Pass the returned `opt_state`
+    back in to continue the Adam trajectory (first/second-moment state).
+
+    Returns (new_params, loss, opt_state).
     """
-    M, a, mdot = params
+    import optax
+    fit_incl = len(params) == 4
+    if fit_incl:
+        M, a, mdot, incl = params
+    else:
+        M, a, mdot = params
+        assert incl is not None, "fixed-incl fit needs the incl argument"
+    # the observer-plane grid is part of the data spec (what the detector
+    # saw), not of the model: built once from the initial spin
     alpha, beta = image_grid(npix_x, npix_y, float(r_ms(a)) + 8.0)
     alpha = shard_image_rows(jnp.broadcast_to(alpha, (npix_y, npix_x)), mesh)
     beta = shard_image_rows(jnp.broadcast_to(beta, (npix_y, npix_x)), mesh)
     target = shard_image_rows(target_image, mesh)
 
-    @jax.jit
-    def step(M, a, mdot, alpha, beta, target):
-        def loss_fn(M, a, mdot):
-            imf, _ = _render_from_grid(M, a, mdot, 0.1, incl, alpha, beta,
-                                       npix_x, npix_y)
-            scale = 1e26
-            return jnp.mean((imf / scale - target / scale) ** 2)
-        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(M, a, mdot)
-        gM, ga, gmdot = grads
-        return (M - lr * gM, a - lr * ga, mdot - lr * gmdot), loss
+    opt = optax.adam(lr)
+    p0 = (jnp.float64(M), jnp.float64(a), jnp.float64(mdot)) + (
+        (jnp.float64(incl),) if fit_incl else ())
+    if opt_state is None:
+        opt_state = opt.init(p0)
 
-    (Mn, an, mdn), loss = step(M, a, mdot, alpha, beta, target)
-    return (Mn, an, mdn), loss
+    @jax.jit
+    def step(p, opt_state, alpha, beta, target):
+        def loss_fn(p):
+            if fit_incl:
+                M, a, mdot, incl_t = p
+            else:
+                M, a, mdot = p
+                incl_t = incl
+            imf, _ = _render_from_grid(M, a, mdot, 0.1, incl_t, alpha, beta,
+                                       npix_x, npix_y)
+            return (jnp.mean((imf - target) ** 2)
+                    / jnp.maximum(jnp.mean(target ** 2), 1e-300))
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, opt_state = opt.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), loss, opt_state
+
+    new_p, loss, opt_state = step(p0, opt_state, alpha, beta, target)
+    return tuple(new_p), loss, opt_state

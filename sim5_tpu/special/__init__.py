@@ -8,7 +8,7 @@ reference (sim5elliptic.c, sim5polyroots.c) with fixed-depth duplication /
 AGM schemes that run in lockstep on the TPU VPU.
 """
 
-from .carlson import rf, rd, rc, rj
+from .carlson import rf, rd, rc, rj, set_duplication_mode
 from .legendre import (
     elliptic_k, elliptic_f, elliptic_f_cos, elliptic_f_sin,
     elliptic_e, elliptic_e_cos, elliptic_e_sin,
@@ -30,7 +30,9 @@ from .integrals import (
     integral_T_m0_dn, integral_T_m2_dn, integral_T_mp_dn,
 )
 from .polyroots import (quadratic_roots, cubic_roots, quartic_roots,
-                        sort_quartic_roots, polish_quartic_real_roots)
+                        quartic_roots_c, sort_quartic_roots,
+                        polish_quartic_real_roots,
+                        polish_quartic_real_roots_df)
 from .interp import (Interp, interp_init, interp_eval,
                      InterpBuilder, interp_init_build,
                      INTERP_TYPE_LINLIN, INTERP_TYPE_LOGLOG,

@@ -22,6 +22,26 @@ import jax.numpy as jnp
 _NDUP = 16   # duplication depth (see module docstring)
 _TINY = 1e-300
 
+# Duplication-chain lowering strategy.  "auto" picks by the process's
+# default backend; set_duplication_mode("unroll"/"loop") pins it -- the
+# escape hatch for mixed CPU+TPU processes, where a CPU-traced graph under
+# "auto" would otherwise inherit the TPU choice (trace-time dispatch cannot
+# see the operands' eventual device).
+_DUP_MODE = "auto"
+
+
+def set_duplication_mode(mode):
+    """Pin how the Carlson duplication chain lowers: "unroll" (fused VPU
+    chain, the TPU-optimal form), "loop" (lax.fori_loop, the CPU-optimal
+    form -- unrolling only multiplies XLA:CPU compile time), or "auto"
+    (default: by jax.default_backend() at trace time).  Returns the
+    previous mode so callers can restore it."""
+    global _DUP_MODE
+    if mode not in ("auto", "unroll", "loop"):
+        raise ValueError(f"duplication mode {mode!r}")
+    prev, _DUP_MODE = _DUP_MODE, mode
+    return prev
+
 
 def _ndup():
     """Duplication depth for the active precision.
@@ -40,9 +60,12 @@ def _iterate(n, body, state):
     lax loop forces the carry through HBM every iteration (measured 1.25x
     end-to-end on the disk-image pipeline).  On CPU the lax.fori_loop wins:
     unrolling (especially rj's nested rc) multiplies XLA:CPU compile time
-    for no runtime benefit.
+    for no runtime benefit.  `set_duplication_mode` overrides the
+    backend-based default per process.
     """
-    if jax.default_backend() == "tpu":
+    unroll = (jax.default_backend() == "tpu" if _DUP_MODE == "auto"
+              else _DUP_MODE == "unroll")
+    if unroll:
         for _ in range(n):
             state = body(state)
         return state

@@ -21,19 +21,31 @@ def _nagm():
     return _NAGM if jnp.zeros((), jnp.float64).dtype == jnp.float64 else 8
 
 
-def jacobi_sncndn(u, m):
+def jacobi_sncndn(u, m, mc=None):
     """Jacobi elliptic functions (sn, cn, dn)(u | m) for 0 <= m < 1.
 
     Valid for any real u (the AGM scheme is periodic-exact); the reference
     restricts u <= 2K(m) in some callers but the scheme itself does not.
     (reference: sim5elliptic.c:536-598)
+
+    `mc`, when given, is the exact complementary parameter 1 - m computed
+    cancellation-free by the caller; the AGM consumes the complement
+    directly (its seed is (1, k' = sqrt(mc))), so for m -> 1 the result
+    keeps the complement's full relative accuracy -- forming 1 - m here
+    would floor mc at ulp(1) and destroy it.  (The NR-family sncndn takes
+    the complement as ITS argument for the same reason.)
     """
     u = jnp.asarray(u, jnp.float64)
     m = jnp.asarray(m, jnp.float64)
-    u, m = jnp.broadcast_arrays(u, m)
-    # clamp m==1 like the reference (sim5elliptic.c:542)
-    m = jnp.where(m >= 1.0, 0.999999999, m)
-    emc = 1.0 - m
+    if mc is None:
+        u, m = jnp.broadcast_arrays(u, m)
+        # clamp m==1 like the reference (sim5elliptic.c:542)
+        m = jnp.where(m >= 1.0, 0.999999999, m)
+        emc = 1.0 - m
+    else:
+        mc = jnp.asarray(mc, jnp.float64)
+        u, m, mc = jnp.broadcast_arrays(u, m, mc)
+        emc = jnp.where(mc <= 0.0, 1e-9, mc)
 
     # ascending AGM with convergence freeze -- UNROLLED so the whole chain
     # fuses into one VPU kernel (a lax.scan would stack the per-level arrays

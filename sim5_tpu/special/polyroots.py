@@ -109,6 +109,24 @@ def quartic_roots(a3, a2, a1, a0):
     return re, im, n1 + n2
 
 
+def quartic_roots_c(a3, a2, a1, a0):
+    """Roots of z^4 + a3 z^3 + a2 z^2 + a1 z + a0 = 0 (real coefficients)
+    handed back as four separate complex roots (re, im) plus n_real.
+
+    Convenience variant of `quartic_roots`: the roots are sorted (real
+    first, descending; conjugate pairs adjacent) and unpacked one per
+    return slot.  (reference: quartic_eq_c, sim5polyroots.c:450-479 --
+    there too a repackaging of quartic_eq's output into individual
+    complex values, not a complex-coefficient solver.)
+
+    Returns (n_real, (re1, im1), (re2, im2), (re3, im3), (re4, im4)).
+    """
+    re, im, _n = quartic_roots(a3, a2, a1, a0)
+    re, im, n_real = sort_quartic_roots(re, im)
+    return n_real, (re[..., 0], im[..., 0]), (re[..., 1], im[..., 1]), \
+        (re[..., 2], im[..., 2]), (re[..., 3], im[..., 3])
+
+
 def _two_sum(a, b):
     """Knuth error-free transform: a + b = s + err exactly."""
     s = a + b
@@ -131,6 +149,52 @@ def _two_prod(a, b):
     return p, err
 
 
+def _split(a):
+    """Veltkamp split a = hi + lo with hi carrying the upper half of the
+    mantissa (both halves exact)."""
+    splitter = 134217729.0 if a.dtype == jnp.float64 else 4097.0
+    c = a * splitter
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _newton_step_compensated(z, im, c2, c1, c0):
+    """One Newton step z -> z - R(z)/R'(z) for R = z^4 + c2 z^2 + c1 z + c0,
+    with R evaluated by an error-free-transform compensated Horner scheme
+    (accurate as if in twice the working precision).  Returns (z_new,
+    delta, ok): z_new = fl(z + delta); `ok` marks lanes that moved (real
+    roots away from the |R'| ~ 0 double-root degeneracy).
+
+    The split of z is computed once and reused by every product EFT, and
+    the z^2 term uses the cheaper square form (the polish sits on the
+    per-pixel hot path of the f32 image sweep: ~10% of frame time per
+    pass at the naive 2-split-per-product cost, measured on-chip).
+    """
+    zh, zl = _split(z)
+    # z^2 (square EFT: one split, symmetric cross term)
+    s = z * z
+    e = (zh * zh - s + 2.0 * zh * zl) + zl * zl
+    s, e2 = _two_sum(s, jnp.broadcast_to(c2, s.shape))
+    err = e + e2
+    sh, sl = _split(s)
+    p = s * z
+    e = (sh * zh - p + sh * zl + sl * zh) + sl * zl
+    err = err * z + e
+    s, e2 = _two_sum(p, jnp.broadcast_to(c1, p.shape))
+    err = err + e2
+    sh, sl = _split(s)
+    p = s * z
+    e = (sh * zh - p + sh * zl + sl * zh) + sl * zl
+    err = err * z + e
+    s, e2 = _two_sum(p, jnp.broadcast_to(c0, p.shape))
+    R = s + (err + e2)
+    dR = (4.0 * z * z + 2.0 * c2) * z + c1
+    scale = 4.0 * jnp.abs(z) ** 3 + 2.0 * jnp.abs(c2 * z) + jnp.abs(c1)
+    ok = (im == 0.0) & (jnp.abs(dR) > 1e-5 * scale) & jnp.isfinite(R)
+    delta = jnp.where(ok, -R / jnp.where(ok, dR, 1.0), 0.0)
+    return z + delta, delta, ok
+
+
 def polish_quartic_real_roots(re, im, c2, c1, c0):
     """One compensated-Newton step on the real roots of
     z^4 + c2 z^2 + c1 z + c0 (the depressed geodesic quartic).
@@ -145,26 +209,70 @@ def polish_quartic_real_roots(re, im, c2, c1, c0):
     ray -- no emulated f64 anywhere.  Near-double roots (|R'| ~ 0) are
     left untouched; complex roots pass through unchanged.
     """
-    z = re
+    z, _, _ = _newton_step_compensated(
+        re, im, c2[..., None], c1[..., None], c0[..., None])
+    return z
+
+
+def polish_quartic_real_roots_df(re, im, c2, c1, c0):
+    """Two compensated-Newton steps on the real quartic roots, returning
+    each root as an unevaluated two-float pair (hi, lo), root = hi + lo
+    with |lo| <= ulp(hi).
+
+    Why two steps and a low part: for NEAR-CRITICAL rays (periastron at
+    the photon ring, r1 -> r2) the elliptic moduli and the radius
+    inversion depend on the root GAP r1 - r2, whose absolute accuracy
+    must be far below ulp(r1).  One Newton step from the closed-form
+    seeds (error e0 ~ 40 ulp) leaves e1 ~ e0^2/gap -- measured 1e-4
+    RELATIVE TO THE GAP in f32 at gap ~ 1e-3, the fast path's dominant
+    image error.  The second step squares that away (e2 ~ ulp^2/gap),
+    and the TwoSum low part preserves it past the final rounding, so
+    gap = (hi_i - hi_j) + (lo_i - lo_j) is accurate to ~1 ulp OF THE GAP
+    (the hi difference is exact by Sterbenz for close roots).  Complex
+    and double-root lanes pass through with lo = 0.
+    """
     c2 = c2[..., None]
     c1 = c1[..., None]
     c0 = c0[..., None]
-    # compensated Horner for R = ((z^2 + c2) z + c1) z + c0, c3 = 0
-    s, e = _two_prod(z, z)                      # z^2
+    z0 = re
+    zh, zl = _split(z0)
+    # pass 1: compensated Horner for R(z0) (as in twice the precision)
+    s = z0 * z0
+    e = (zh * zh - s + 2.0 * zh * zl) + zl * zl
     s, e2 = _two_sum(s, jnp.broadcast_to(c2, s.shape))
     err = e + e2
-    p, e = _two_prod(s, z)
-    err = err * z + e
+    sh, sl = _split(s)
+    p = s * z0
+    e = (sh * zh - p + sh * zl + sl * zh) + sl * zl
+    err = err * z0 + e
     s, e2 = _two_sum(p, jnp.broadcast_to(c1, p.shape))
     err = err + e2
-    p, e = _two_prod(s, z)
-    err = err * z + e
+    sh, sl = _split(s)
+    p = s * z0
+    e = (sh * zh - p + sh * zl + sl * zh) + sl * zl
+    err = err * z0 + e
     s, e2 = _two_sum(p, jnp.broadcast_to(c0, p.shape))
-    R = s + (err + e2)
-    dR = (4.0 * z * z + 2.0 * c2) * z + c1
-    scale = 4.0 * jnp.abs(z) ** 3 + 2.0 * jnp.abs(c2 * z) + jnp.abs(c1)
-    ok = (im == 0.0) & (jnp.abs(dR) > 1e-5 * scale) & jnp.isfinite(R)
-    return jnp.where(ok, z - R / jnp.where(ok, dR, 1.0), re)
+    R0 = s + (err + e2)
+    dR0 = (4.0 * z0 * z0 + 2.0 * c2) * z0 + c1
+    scale = 4.0 * jnp.abs(z0) ** 3 + 2.0 * jnp.abs(c2 * z0) + jnp.abs(c1)
+    ok = (im == 0.0) & (jnp.abs(dR0) > 1e-5 * scale) & jnp.isfinite(R0)
+    da = jnp.where(ok, -R0 / jnp.where(ok, dR0, 1.0), 0.0)
+    # pass 2 via the EXACT quartic Taylor expansion about z0 (no second
+    # compensated Horner needed): with z1 = fl(z0 + da) = z0 + dp exactly
+    # (dp = da - rho from TwoSum), the five Taylor terms ARE the quartic:
+    #   R(z1) = R0 + R'(z0) dp + (6 z0^2 + c2) dp^2 + 4 z0 dp^3 + dp^4
+    # and the dominant cancellation R0 + R'0 dp is exact by Sterbenz
+    # (both ~R'0 e0, difference ~R'0 e0^2/gap).  ~2.5x cheaper than
+    # repeating the compensated evaluation, same ~1-ulp-of-gap result.
+    z1f, rho = _two_sum(z0, da)
+    dp = da - rho
+    dp2 = dp * dp
+    R1 = R0 + dR0 * dp + (6.0 * z0 * z0 + c2) * dp2 \
+        + 4.0 * z0 * dp * dp2 + dp2 * dp2
+    dR1 = (4.0 * z1f * z1f + 2.0 * c2) * z1f + c1
+    d2 = jnp.where(ok, -R1 / jnp.where(ok, dR1, 1.0), 0.0)
+    hi, lo = _two_sum(z1f, d2)
+    return jnp.where(ok, hi, re), jnp.where(ok, lo, 0.0)
 
 
 def sort_quartic_roots(re, im):

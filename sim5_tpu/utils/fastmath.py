@@ -108,6 +108,42 @@ def vlog(u):
     return jnp.where(u <= 0.5, series, direct)
 
 
+def two_sum(a, b):
+    """Knuth error-free transform: a + b = s + err exactly."""
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def two_prod(a, b):
+    """Dekker/Veltkamp error-free product: a * b = p + err exactly
+    (no FMA assumption; splitter picked for the active dtype)."""
+    splitter = 134217729.0 if a.dtype == jnp.float64 else 4097.0
+    ca = a * splitter
+    ahi = ca - (ca - a)
+    alo = a - ahi
+    cb = b * splitter
+    bhi = cb - (cb - b)
+    blo = b - bhi
+    p = a * b
+    err = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+    return p, err
+
+
+def sqrt_df(x):
+    """sqrt(x) as a two-float pair (hi, lo): hi = fl(sqrt(x)), lo the
+    Newton residual (x - hi^2)/(2 hi) with hi^2 formed error-free.
+    Accurate to ~ulp^2; used where a DIFFERENCE of square roots must be
+    accurate to far below ulp of the operands (e.g. the Page-Thorne
+    delta = sqrt(r) - sqrt(rms) near the disk inner edge)."""
+    x = jnp.asarray(x)
+    hi = jnp.sqrt(x)
+    hi_safe = jnp.where(hi > 0.0, hi, 1.0)
+    p, e = two_prod(hi_safe, hi_safe)
+    lo = ((x - p) - e) / (2.0 * hi_safe)
+    return hi, jnp.where(hi > 0.0, lo, 0.0)
+
+
 def expm1_accurate(x):
     """expm1, ~2 ulp in f32 on TPU (vs ~1.1e-4 for the hardware path);
     identical to jnp.expm1 in f64."""

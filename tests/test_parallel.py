@@ -51,19 +51,39 @@ class TestShardedRender:
 
 
 class TestFitStep:
-    def test_gradient_descent_reduces_loss(self, mesh):
+    def test_adam_descent_reduces_loss(self, mesh):
         # render a target with true params, start from perturbed params and
-        # verify a fit step reduces the loss (exercises psum'd gradients)
+        # verify Adam steps reduce the normalized loss (exercises psum'd
+        # gradients + optimizer state threading)
         true = (10.0, 0.7, 0.1)
         imf, _ = render_disk_image_sharded(mesh, *true, 0.1, 1.2,
                                            npix_x=16, npix_y=16)
         target = jnp.asarray(np.asarray(imf))
         params = (jnp.float64(10.0), jnp.float64(0.65), jnp.float64(0.12))
-        p1, loss1 = fit_step_sharded(mesh, params, target, 1.2,
-                                     npix_x=16, npix_y=16, lr=1e5)
-        p2, loss2 = fit_step_sharded(mesh, p1, target, 1.2,
-                                     npix_x=16, npix_y=16, lr=1e5)
+        p1, loss1, st = fit_step_sharded(mesh, params, target, 1.2,
+                                         npix_x=16, npix_y=16, lr=3e-3)
+        p2, loss2, st = fit_step_sharded(mesh, p1, target, 1.2,
+                                         npix_x=16, npix_y=16, lr=3e-3,
+                                         opt_state=st)
         assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
+        assert float(loss2) <= float(loss1)
+        # normalized loss is O(1) by construction (no hand-tuned scale)
+        assert float(loss1) < 10.0
+
+    def test_fit_inclination_too(self, mesh):
+        # 4-parameter form: (M, a, mdot, incl) all fitted
+        imf, _ = render_disk_image_sharded(mesh, 10.0, 0.7, 0.1, 0.1, 1.2,
+                                           npix_x=16, npix_y=16)
+        target = jnp.asarray(np.asarray(imf))
+        params = (jnp.float64(10.0), jnp.float64(0.68), jnp.float64(0.11),
+                  jnp.float64(1.15))
+        p1, loss1, st = fit_step_sharded(mesh, params, target,
+                                         npix_x=16, npix_y=16, lr=3e-3)
+        p2, loss2, st = fit_step_sharded(mesh, p1, target,
+                                         npix_x=16, npix_y=16, lr=3e-3,
+                                         opt_state=st)
+        assert len(p1) == 4
+        assert np.isfinite(float(loss2))
         assert float(loss2) <= float(loss1)
 
     def test_scaling_efficiency_smoke(self, mesh):

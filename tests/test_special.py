@@ -145,6 +145,35 @@ class TestPolyroots:
         assert np.allclose(sre[:2], [2.0, 1.0], atol=1e-9)
         assert np.allclose(np.abs(sim_[2:]), [1.0, 1.0], atol=1e-9)
 
+    def test_quartic_roots_c(self):
+        # the quartic_eq_c variant (sim5polyroots.c:450): same quartic as
+        # above, roots unpacked as individual complex (re, im) pairs,
+        # sorted real-first-descending with the conjugate pair adjacent
+        n, z1, z2, z3, z4 = sp.quartic_roots_c(-3.0, 3.0, -3.0, 2.0)
+        assert int(n) == 2
+        assert np.allclose([float(z1[0]), float(z2[0])], [2.0, 1.0],
+                           atol=1e-9)
+        assert float(z1[1]) == 0.0 and float(z2[1]) == 0.0
+        assert np.allclose(abs(float(z3[1])), 1.0, atol=1e-9)
+        assert np.allclose(float(z3[1]) + float(z4[1]), 0.0, atol=1e-12)
+
+    def test_duplication_mode_override(self):
+        # the Carlson duplication chain must produce identical values under
+        # both lowering strategies (the config flag exists for mixed
+        # CPU+TPU processes where the backend-based default mis-picks)
+        x, y, z = 0.3, 1.7, 4.2
+        base = float(sp.rf(x, y, z))
+        prev = sp.set_duplication_mode("unroll")
+        try:
+            import jax
+            jax.clear_caches()  # drop the loop-form compiled entry
+            # same op sequence; XLA fusion differences cost at most an ulp
+            np.testing.assert_allclose(float(sp.rf(x, y, z)), base,
+                                       rtol=1e-14)
+        finally:
+            sp.set_duplication_mode(prev)
+            jax.clear_caches()
+
 
 class TestGradients:
     def test_rf_grad(self):
