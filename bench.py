@@ -136,11 +136,82 @@ def march_benchmark():
             st, _ = run(seed)
             total_steps += int(np.asarray(st.steps, np.int64).sum())
         dt = time.perf_counter() - t0
+
+        # NOTE on run-to-run variance: one march dispatch computes ~0.7 s
+        # of device work, so the ~25 ms relay cost is <4% here -- the
+        # 2.7-5.2e8 swings observed between rounds on identical code are
+        # shared-chip/host contention, not relay latency (unlike the
+        # image sweep, whose device_ms_per_frame slope metric isolates
+        # it).  Treat this key as a lower bound under load.
     return dict(march_ray_steps_per_sec=total_steps / dt,
                 march_carter_drift_median=med,
                 march_carter_drift_p99=p99,
                 march_nan_fraction=nan_frac,
                 march_escaped_fraction=float(esc.mean()))
+
+
+def thickdisk_benchmark():
+    """256^2 cone-disk image through the batched surface-intersection
+    march -- the reference's production path for slim/thick disks
+    (DiskRaytrace.__find_surface, sim5diskraytrace.py:257-336, a
+    per-pixel Python loop there).  Correctness-gated on the surface
+    residual |H - h(R)| before timing; runs in f32.
+    """
+    import jax
+    import jax.numpy as jnp
+    from sim5_tpu.render import DiskRaytrace, DiskSpectrum_BlackBody
+    from sim5_tpu.core import ellK
+
+    class ConeDisk:
+        slope = 0.05
+
+        def mdot(self):
+            return jnp.asarray(0.1)
+
+        def lumi(self):
+            return jnp.asarray(0.1)
+
+        def flux(self, r):
+            return jnp.where(r > 6.0, 1.0 / jnp.maximum(r, 1.0) ** 3, 0.0)
+
+        def t_eff(self, r):
+            return jnp.where(r > 6.0, 1e7 / jnp.maximum(r, 1.0) ** 0.75, 0.0)
+
+        def sigma(self, r):
+            return jnp.ones_like(r)
+
+        def ell(self, r):
+            return ellK(jnp.maximum(r, 6.0), 0.5)
+
+        def vr(self, r):
+            return jnp.zeros_like(r)
+
+        def h(self, r):
+            return self.slope * r
+
+        def dhdr(self, r):
+            return jnp.full_like(r, self.slope)
+
+    N = 256
+    with jax.enable_x64(False):
+        rt = DiskRaytrace(10.0, 0.5, 10.0, ConeDisk(),
+                          DiskSpectrum_BlackBody())
+        im = rt.image(55.0, 25.0, N)    # warm/compile + correctness gate
+        F = np.asarray(im["flux"])
+        H = np.asarray(im["H"])
+        R = np.asarray(im["R"])
+        hit = np.isfinite(F)
+        assert hit.mean() > 0.2, f"cone-disk hit fraction {hit.mean():.2f}"
+        resid = np.abs(H[hit] - ConeDisk.slope * R[hit])
+        assert np.median(resid) < 0.05, (
+            f"surface residual median {np.median(resid):.3f}")
+        n_rep = 3
+        t0 = time.perf_counter()
+        for _ in range(n_rep):
+            im = rt.image(55.0, 25.0, N)
+            assert np.isfinite(float(np.nansum(np.asarray(im["flux"]))))
+        dt = time.perf_counter() - t0
+    return dict(thickdisk_rays_per_sec=n_rep * N * N / dt)
 
 
 def main():
@@ -195,6 +266,73 @@ def main():
     assert ((imt > 0) == (d998 > 0)).all(), "traced-path footprint differs"
     err_traced = float(np.max(np.abs(imt - d998)) / d998.max())
     assert err_traced <= 1e-5, f"traced f64 path err {err_traced:.2e} > 1e-5"
+
+    # ---- backward pass (round-3 VERDICT task #3) ------------------------
+    # correctness: per-pixel d(flux)/d(spin) by f64 forward-mode autodiff
+    # vs central differences of the f64 forward, on the 128^2 a=0.998
+    # frame.  Pixels whose hit footprint flips within +-h are excluded
+    # (the type/hit assignment is piecewise-constant; gradients are only
+    # defined inside a region, SURVEY.md 7).
+    @jax.jit
+    def _jvp_a(a, incl, mdot):
+        def fwd(a_):
+            disk = nt_setup(10.0, a_, mdot, 0.1)
+            return render_disk_image(disk, incl, 128, 128)[0]
+        return jax.jvp(fwd, (a,), (jnp.float64(1.0),))
+
+    # h at the FD roundoff/truncation balance point (measured V-curve:
+    # 3.4e-3 @ 3e-4, 2.6e-4 @ 1e-4, 3.9e-4 @ 3e-5, 1.7e-2 @ 1e-6 -- the
+    # f64 render's ~1e-13 reproducibility noise divided by 2h dominates
+    # small h); the 1e-3 gate is the FD method floor, not the AD error
+    h = 1e-4
+    _, dimg = _jvp_a(jnp.float64(A), INCL, jnp.float64(MDOT))
+    dimg = np.asarray(dimg)
+    imp = np.asarray(render64_traced(jnp.float64(A + h),
+                                     jnp.float64(INCL), jnp.float64(MDOT)))
+    imm = np.asarray(render64_traced(jnp.float64(A - h),
+                                     jnp.float64(INCL), jnp.float64(MDOT)))
+    fd = (imp - imm) / (2.0 * h)
+    interior = ((imp > 0) == (imm > 0)) & np.isfinite(dimg)
+    assert interior.mean() > 0.9
+    gscale = np.abs(fd[interior]).max()
+    grad_linf = float(np.abs(dimg - fd)[interior].max() / gscale)
+    # FD itself carries ~1e-4 relative error at h=1e-6 (f64 render noise
+    # 6e-7 of peak / 2h plus truncation at the steep inner edge)
+    assert grad_linf <= 1e-3, f"pixel grad vs FD {grad_linf:.2e}"
+
+    # throughput: reverse-mode d(total flux)/d(a, incl, mdot) over the
+    # 512^2 f32 render, amortized over a spin sweep per dispatch (the fit
+    # workload: value+grad per frame)
+    with jax.enable_x64(False):
+        def frame_loss(a, incl, mdot):
+            disk = nt_setup(10.0, a, mdot, 0.1)
+            imf, _ = render_disk_image(disk, incl, NPIX, NPIX)
+            return imf.sum() * jnp.float32(1e-25)
+
+        vg = jax.value_and_grad(frame_loss, argnums=(0, 1, 2))
+
+        @jax.jit
+        def grad_sweep(a0):
+            spins = a0 - 2e-4 * jnp.arange(64, dtype=jnp.float32)
+            return jax.lax.map(
+                lambda a: vg(a, jnp.float32(INCL), jnp.float32(MDOT)),
+                spins)
+
+        v0, g0 = grad_sweep(jnp.float32(A))   # warm/compile
+        g0 = [np.asarray(g) for g in g0]
+        assert all(np.isfinite(g).all() for g in g0)
+        assert all((np.abs(g) > 0).any() for g in g0), "zero gradients"
+        t0 = time.perf_counter()
+        tot = 0.0
+        for i in range(2):
+            v, _g = grad_sweep(jnp.float32(A - 1e-6 * (i + 1)))
+            tot += float(np.asarray(v).sum())
+        dt_g = time.perf_counter() - t0
+        assert np.isfinite(tot)
+    grad_rays_per_sec = 2 * 64 * NPIX * NPIX / dt_g
+
+    # thick-disk surface march (cone disk, 256^2)
+    thick = thickdisk_benchmark()
 
     # compiled Pallas march: correctness gates + throughput
     march = march_benchmark()
@@ -293,6 +431,9 @@ def main():
         "fast_path_err_vs_f64": float(err32),
         "device_ms_per_frame": device_ms_per_frame,
         "device_rays_per_sec": device_rays_per_sec,
+        "grad_rays_per_sec": grad_rays_per_sec,
+        "pixel_grad_linf_vs_fd": grad_linf,
+        **thick,
         **march,
     }))
     return 0

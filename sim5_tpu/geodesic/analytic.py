@@ -170,10 +170,20 @@ def _rc_geometry(t1, t2, tu, tv):
     A = jnp.sqrt(x1 * x1 + tv * tv)
     B = jnp.sqrt(x2 * x2 + tv * tv)
     tv2 = tv * tv
-    hm1 = jnp.where(x1 > 0.0, tv2 / (A + x1), A - x1)
-    hp1 = jnp.where(x1 < 0.0, tv2 / (A - x1), A + x1)
-    hm2 = jnp.where(x2 > 0.0, tv2 / (B + x2), B - x2)
-    hp2 = jnp.where(x2 < 0.0, tv2 / (B - x2), B + x2)
+    # the hypot-identity denominators are sanitized on their UNTAKEN side:
+    # when tv^2 << x^2, A rounds to |x| exactly and A - |x| == 0, so the
+    # dead branch divides by zero -- harmless for the value (masked) but
+    # its reverse-mode cotangent is 0 * inf = NaN, which poisons every
+    # gradient that shares upstream variables (measured: 3 of 64 sweep
+    # spins on-chip)
+    d1p = jnp.where(x1 > 0.0, A + x1, 1.0)
+    d1m = jnp.where(x1 < 0.0, A - x1, 1.0)
+    d2p = jnp.where(x2 > 0.0, B + x2, 1.0)
+    d2m = jnp.where(x2 < 0.0, B - x2, 1.0)
+    hm1 = jnp.where(x1 > 0.0, tv2 / d1p, A - x1)
+    hp1 = jnp.where(x1 < 0.0, tv2 / d1m, A + x1)
+    hm2 = jnp.where(x2 > 0.0, tv2 / d2p, B - x2)
+    hp2 = jnp.where(x2 < 0.0, tv2 / d2m, B + x2)
     ApB = A + B
     AmB = (t1 - t2) * (x1 + x2) / ApB
     mm = ((ApB) ** 2 - (t1 - t2) ** 2) / (4.0 * A * B)

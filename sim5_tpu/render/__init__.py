@@ -10,6 +10,8 @@ from .polarized import (render_polarized_image, chandrasekhar_poldeg,
                         polarized_spectrum)
 from .lightcurve import (equatorial_crossing_map, hotspot_lightcurve,
                          volume_image, volume_lightcurve)
+from .checkpoint import (FrameCheckpoint, checkpointed_frames,
+                         hotspot_lightcurve_checkpointed)
 from .lineprofile import disk_g_map, line_profile, transfer_function
 from .spectrum_fit import PolarGrid, make_polar_grid, disk_spectrum
 from .shadow import BHImage, gfactor_plunge, render_bh_image

@@ -128,6 +128,14 @@ def find_surface(g, disk: DiskModel, accuracy=1e-2, max_steps=512):
 
     Batched equivalent of DiskRaytrace.__find_surface
     (sim5diskraytrace.py:257-336).  Returns (P, r, m, ok).
+
+    The march is an early-exit `lax.while_loop`: one batched iteration per
+    step while ANY ray is still marching (typical batches finish in
+    ~30-80 steps; the old fixed fori_loop paid all `max_steps` every
+    call).  The equatorial-plane shortcut target is loop-invariant and
+    hoisted.  Not reverse-differentiable (while_loop); fit pipelines
+    should differentiate the flat path or attach an implicit-function
+    rule at the surface.
     """
     disk_theta = jnp.arctan(disk.h(jnp.asarray(1e6)) / 1e6)
     r0 = jnp.maximum(jnp.maximum(200.0, 1.1 * g.rp),
@@ -151,11 +159,23 @@ def find_surface(g, disk: DiskModel, accuracy=1e-2, max_steps=512):
     Hd = disk.h(r * jnp.sqrt(1.0 - m ** 2))
     alive = (Hd < H) & jnp.isfinite(P) & (g.status == 0)
 
+    # loop-invariant equatorial-plane shortcut target (hoisted: the old
+    # loop re-derived the crossing and both inversions every iteration)
+    P_eq = geodesic_find_midplane_crossing(g, 0)
+    P_eq_z = jnp.where(jnp.isfinite(P_eq), P_eq, 1.0)
+    r_eq = geodesic_position_rad(g, P_eq_z)
+    m_eq = geodesic_position_pol(g, P_eq_z)
+    eq_ok = jnp.isfinite(P_eq) & jnp.isfinite(r_eq)
+
     state = dict(P=P, r=jnp.where(alive, r, 10.0), m=jnp.where(alive, m, 0.5),
                  sf=jnp.ones_like(r), alive=alive,
-                 done=jnp.zeros(r.shape, bool))
+                 done=jnp.zeros(r.shape, bool),
+                 i=jnp.zeros((), jnp.int32))
 
-    def body(i, st):
+    def cond(st):
+        return (st["i"] < max_steps) & jnp.any(st["alive"] & ~st["done"])
+
+    def body(st):
         P, r, m, sf, alive, done = (st["P"], st["r"], st["m"], st["sf"],
                                     st["alive"], st["done"])
         R = r * jnp.sqrt(1.0 - m ** 2)
@@ -164,25 +184,25 @@ def find_surface(g, disk: DiskModel, accuracy=1e-2, max_steps=512):
         step = jnp.maximum(accuracy / 2.0,
                            jnp.minimum((H - Hd) / 2.0,
                                        0.5 * (jnp.sqrt(jnp.maximum(r, 1.0)) - 0.99) * sf))
-        Pn, rn, mn, stat = geodesic_follow(g, step, P, r, m)
+        Pn, rn, mn, stat = geodesic_follow(g, step, P, r, m,
+                                           max_substeps=16)
         Rn = rn * jnp.sqrt(1.0 - mn ** 2)
         Hn = rn * mn
         Hdn = disk.h(Rn)
         crossed = (Hn <= Hdn) & alive & ~done
         # surface hit at fine resolution -> step back half and stop
         fine = crossed & (step < accuracy)
-        Pb, rb, mb, _ = geodesic_follow(g, -step / 2.0, Pn, rn, mn)
+        Pb, rb, mb, _ = geodesic_follow(g, -step / 2.0, Pn, rn, mn,
+                                        max_substeps=16)
         # crossed but coarse -> revert the step, reduce step factor
-        Pc, rc_, mc, _ = geodesic_follow(g, -step, Pn, rn, mn)
+        Pc, rc_, mc, _ = geodesic_follow(g, -step, Pn, rn, mn,
+                                         max_substeps=16)
         # equatorial-plane shortcut (thin outer region)
-        eqhit = (jnp.abs(Hn) < 1e-4) & alive & ~done & ~crossed
-        P_eq = geodesic_find_midplane_crossing(g, 0)
-        r_eq = geodesic_position_rad(g, P_eq)
-        m_eq = geodesic_position_pol(g, P_eq)
+        eqhit = (jnp.abs(Hn) < 1e-4) & alive & ~done & ~crossed & eq_ok
 
         fail = alive & ~done & ((stat == 0) | (rn < 1.05 * r_bh(g.a)) | (mn < 0.0))
 
-        P_out = jnp.where(fine, Pb, jnp.where(crossed, Pc, jnp.where(eqhit, P_eq, Pn)))
+        P_out = jnp.where(fine, Pb, jnp.where(crossed, Pc, jnp.where(eqhit, P_eq_z, Pn)))
         r_out = jnp.where(fine, rb, jnp.where(crossed, rc_, jnp.where(eqhit, r_eq, rn)))
         m_out = jnp.where(fine, mb, jnp.where(crossed, mc, jnp.where(eqhit, m_eq, mn)))
         sf = jnp.where(crossed & ~fine, sf / 5.0, sf)
@@ -193,9 +213,10 @@ def find_surface(g, disk: DiskModel, accuracy=1e-2, max_steps=512):
         return dict(P=jnp.where(upd, P_out, P), r=jnp.where(upd, r_out, r),
                     m=jnp.where(upd, m_out, m), sf=sf,
                     alive=jnp.where(upd, alive_n, alive),
-                    done=jnp.where(upd, done_n, done))
+                    done=jnp.where(upd, done_n, done),
+                    i=st["i"] + 1)
 
-    state = jax.lax.fori_loop(0, max_steps, body, state)
+    state = jax.lax.while_loop(cond, body, state)
     ok = state["done"]
     return state["P"], state["r"], state["m"], ok
 
@@ -219,6 +240,7 @@ class DiskRaytrace:
 
     def __post_init__(self):
         self.bh_spin = max(self.bh_spin, 1e-4)
+        self._image_cache = {}   # (incl, rmax, N, limbdk, mesh) -> jitted fn
 
     def geodesic(self, incl, alpha, beta, flat=None):
         """Batched pixel->surface solver.
@@ -244,41 +266,77 @@ class DiskRaytrace:
                             g.Rpc - P_s, jnp.ones_like(r_s))
         return r_s, m_s, g, k, ok
 
-    def image(self, incl_deg, rmax, N, limbdk=1):
+    def image(self, incl_deg, rmax, N, limbdk=1, mesh=None):
         """Disk image: flux, g-factor, emission angle, T, R, H, vr maps.
 
-        (reference: DiskRaytrace.image, sim5diskraytrace.py:138-210)
+        The whole pixel pipeline (surface solve + shading) runs as ONE
+        jitted program, cached per (incl, rmax, N, limbdk, mesh) so
+        repeated frames pay dispatch only.  With `mesh` (a 1-D
+        jax.sharding.Mesh) pixel rows are placed with a NamedSharding
+        and XLA partitions the program across the devices -- the same
+        data-parallel layout as `spectrum(mesh=...)`; rows are padded to
+        a multiple of the device count and the pad is sliced off.
+
+        (reference: DiskRaytrace.image, sim5diskraytrace.py:138-210 --
+        a per-pixel Python loop)
         """
         incl = np.radians(max(1.0, incl_deg))
-        xs = ((jnp.arange(N) + 0.5) / N - 0.5) * 2.0 * rmax
-        alpha, beta = jnp.meshgrid(xs, xs)  # beta rows, alpha cols
         dOmega = (2.0 * rmax / N) ** 2 / (
             (self.bh_mass * consts.grav_radius)
             / (self.bh_dist * consts.parsec * 1e3)) ** 2
+        is_flat = bool(np.asarray(self.disk.h(jnp.asarray(1e5))) == 0.0)
 
-        r, m, g, k, ok = self.geodesic(incl, alpha, beta)
-        R = r * jnp.sqrt(1.0 - m * m)
-        F = self.disk.flux(R)
-        T = self.disk.t_eff(R)
-        V = self.disk.vr(R)
-        ok = ok & (F > 0.0)
+        key = (float(incl_deg), float(rmax), int(N), int(limbdk),
+               id(mesh) if mesh is not None else None)
+        compute = self._image_cache.get(key)
+        if compute is None:
+            @jax.jit
+            def compute(alpha, beta):
+                r, m, g, k, ok = self.geodesic(incl, alpha, beta,
+                                               flat=is_flat)
+                R = r * jnp.sqrt(1.0 - m * m)
+                F = self.disk.flux(R)
+                T = self.disk.t_eff(R)
+                V = self.disk.vr(R)
+                ok = ok & (F > 0.0)
 
-        tet = disk_tetrad(self.bh_spin, r, m, self.disk)
-        gf = observed_gfactor(k, tet)
-        mue = jnp.clip(emission_angle(k, tet), 1e-4, 1.0 - 1e-6)
-        limb = jnp.where(limbdk > 0, 0.5 + 0.75 * mue, 1.0)
-        ok = ok & (gf > 0.0)
+                tet = disk_tetrad(self.bh_spin, r, m, self.disk)
+                gf = observed_gfactor(k, tet)
+                mue = jnp.clip(emission_angle(k, tet), 1e-4, 1.0 - 1e-6)
+                limb = jnp.where(limbdk > 0, 0.5 + 0.75 * mue, 1.0)
+                ok = ok & (gf > 0.0)
 
-        z = jnp.where(ok, 1.0, jnp.nan)
-        return {
-            "flux": z * F * gf ** 4 * limb * dOmega,
-            "gfactor": z * gf,
-            "mue": z * jnp.degrees(jnp.arccos(mue)),
-            "T": z * T,
-            "R": z * R,
-            "H": z * r * m,
-            "V": z * V,
-        }
+                z = jnp.where(ok, 1.0, jnp.nan)
+                return {
+                    "flux": z * F * gf ** 4 * limb * dOmega,
+                    "gfactor": z * gf,
+                    "mue": z * jnp.degrees(jnp.arccos(mue)),
+                    "T": z * T,
+                    "R": z * R,
+                    "H": z * r * m,
+                    "V": z * V,
+                }
+            self._image_cache[key] = compute
+
+        xs = ((jnp.arange(N) + 0.5) / N - 0.5) * 2.0 * rmax
+        alpha, beta = jnp.meshgrid(xs, xs)  # beta rows, alpha cols
+        pad = 0
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            ndev = int(np.prod([mesh.shape[n] for n in mesh.axis_names]))
+            pad = (-N) % ndev
+            if pad:
+                alpha = jnp.concatenate(
+                    [alpha, jnp.broadcast_to(alpha[-1:], (pad, N))])
+                beta = jnp.concatenate(
+                    [beta, jnp.broadcast_to(beta[-1:], (pad, N))])
+            sh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0], None))
+            alpha = jax.device_put(alpha, sh)
+            beta = jax.device_put(beta, sh)
+        out = compute(alpha, beta)
+        if pad:
+            out = {k: v[:N] for k, v in out.items()}
+        return out
 
     def _radial_grid(self, incl, radres, angres):
         """Polar observer-plane grid of the reference spectrum() driver

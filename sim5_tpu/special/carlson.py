@@ -79,6 +79,16 @@ def rf(x, y, z):
     """
     xt, yt, zt = (jnp.asarray(v, jnp.float64) for v in (x, y, z))
     xt, yt, zt = jnp.broadcast_arrays(xt, yt, zt)
+    # floor exactly-zero arguments at the smallest normal: sqrt(0) in the
+    # first duplication has an infinite-slope jvp that turns even a ZERO
+    # tangent into NaN (inf * 0) under forward-mode autodiff -- e.g.
+    # jax.jvp through every complete integral RF(0, y, 1).  maximum()
+    # selects the constant there, so value (shift ~1e-300) and tangent
+    # (0) are both correct.
+    tiny = jnp.asarray(_TINY, xt.dtype) if xt.dtype == jnp.float64 \
+        else jnp.asarray(1e-37, xt.dtype)
+    xt = jnp.maximum(xt, tiny)
+    yt = jnp.maximum(yt, tiny)
 
     def dup(s):
         xt, yt, zt = s
@@ -104,6 +114,10 @@ def rd(x, y, z):
     """
     xt, yt, zt = (jnp.asarray(v, jnp.float64) for v in (x, y, z))
     xt, yt, zt = jnp.broadcast_arrays(xt, yt, zt)
+    tiny = jnp.asarray(_TINY, xt.dtype) if xt.dtype == jnp.float64 \
+        else jnp.asarray(1e-37, xt.dtype)
+    xt = jnp.maximum(xt, tiny)   # see rf: forward-mode sqrt(0) guard
+    yt = jnp.maximum(yt, tiny)
     def dup(st):
         xt, yt, zt, s, fac = st
         sx, sy, sz = jnp.sqrt(xt), jnp.sqrt(yt), jnp.sqrt(zt)
@@ -146,7 +160,9 @@ def rc(x, y, _unroll=True):
     x, y = jnp.broadcast_arrays(x, y)
     neg = y < 0.0
     # principal-value transform for y<0: RC(x,y) = sqrt(x/(x-y)) RC(x-y,-y)
-    xt0 = jnp.where(neg, x - y, x)
+    tiny = jnp.asarray(_TINY, x.dtype) if x.dtype == jnp.float64 \
+        else jnp.asarray(1e-37, x.dtype)
+    xt0 = jnp.maximum(jnp.where(neg, x - y, x), tiny)  # see rf: jvp guard
     yt0 = jnp.where(neg, -y, jnp.where(y == 0.0, _TINY, y))
     w = jnp.where(neg, jnp.sqrt(x) / jnp.sqrt(xt0), 1.0)
     def dup(s):
@@ -189,9 +205,11 @@ def rj(x, y, z, p):
     tau = p_neg * pt_neg / ys_safe
     rcx = jnp.where(neg, rc(rho, tau, _unroll=False), 0.0)
 
-    xt = jnp.where(neg, xs, x)
-    yt = jnp.where(neg, ys, y)
-    zt = jnp.where(neg, zs, z)
+    tiny = jnp.asarray(_TINY, x.dtype) if x.dtype == jnp.float64 \
+        else jnp.asarray(1e-37, x.dtype)
+    xt = jnp.maximum(jnp.where(neg, xs, x), tiny)  # see rf: jvp guard
+    yt = jnp.maximum(jnp.where(neg, ys, y), tiny)
+    zt = jnp.maximum(jnp.where(neg, zs, z), tiny)
     pt = jnp.where(neg, pt_neg, jnp.where(p == 0.0, _TINY, p))
 
     def dup(st):

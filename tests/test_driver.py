@@ -209,6 +209,24 @@ class TestThickDisk:
         assert np.median(np.abs(H - Hd)) < 0.05
         assert (np.abs(H - Hd) < 0.3).mean() > 0.9
 
+    def test_find_surface_matches_reference_python_layer(self):
+        """Golden vs the reference's own __find_surface
+        (sim5diskraytrace.py:257-336), run through its SWIG build on the
+        same cone disk / ray set (tools/README.md provenance; the
+        reference driver needed a gd.i -> gd.incl shim, a latent bug in
+        its own code).  Both marchers take identical adaptive steps, so
+        agreement is to machine precision, not just to `accuracy`."""
+        from sim5_tpu.render import find_surface
+        from tests.conftest import GOLDEN
+        ref = np.load(GOLDEN / "thickdisk_cone_a05.npy")
+        al, be, r_ref, m_ref, ok_ref = ref.T
+        disk = self.ConeDisk()
+        g = gd.geodesic_init_inf(np.radians(55.0), 0.5, al, be)
+        P, r, m, ok = map(np.asarray, find_surface(g, disk))
+        assert (ok == (ok_ref > 0)).all(), "hit set differs from reference"
+        np.testing.assert_allclose(r[ok], r_ref[ok], rtol=1e-10)
+        np.testing.assert_allclose(m[ok], m_ref[ok], atol=1e-12)
+
     def test_thick_disk_image_runs(self):
         disk = self.ConeDisk()
         rt2 = DiskRaytrace(10.0, 0.5, 10.0, disk, DiskSpectrum_BlackBody())

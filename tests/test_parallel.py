@@ -108,6 +108,36 @@ class TestFitStep:
         assert np.isfinite(rate) and rate > 0
 
 
+class TestShardedImage:
+    """DiskRaytrace.image(mesh=...) -- the thick-disk/production image
+    path sharded over the device mesh (round-3 VERDICT task #4)."""
+
+    def test_image_matches_unsharded(self, mesh):
+        from sim5_tpu.disk import ThinDisk
+        from sim5_tpu.render import DiskRaytrace, DiskSpectrum_BlackBody
+        disk = ThinDisk.create(10.0, 0.7, 0.1)
+        rt = DiskRaytrace(10.0, 0.7, 10.0, disk, DiskSpectrum_BlackBody())
+        # N=20 is deliberately NOT divisible by 8: exercises row padding
+        im_u = rt.image(60.0, 15.0, 20)
+        im_s = rt.image(60.0, 15.0, 20, mesh=mesh)
+        for k in im_u:
+            u, s = np.asarray(im_u[k]), np.asarray(im_s[k])
+            assert s.shape == u.shape
+            fin = np.isfinite(u)
+            assert (fin == np.isfinite(s)).all(), f"{k}: footprint"
+            np.testing.assert_allclose(s[fin], u[fin], rtol=1e-9,
+                                       err_msg=k)
+
+    def test_thick_disk_image_sharded(self, mesh):
+        from sim5_tpu.render import DiskRaytrace, DiskSpectrum_BlackBody
+        from tests.test_driver import TestThickDisk
+        disk = TestThickDisk.ConeDisk()
+        rt = DiskRaytrace(10.0, 0.5, 10.0, disk, DiskSpectrum_BlackBody())
+        im = rt.image(55.0, 25.0, 24, mesh=mesh)
+        F = np.asarray(im["flux"])
+        assert np.isfinite(F).mean() > 0.2
+
+
 class TestShardedSpectrum:
     """The spectrum/table path (BASELINE config #5, the production
     workload) sharded over the device mesh -- round-2 VERDICT item 2."""
