@@ -143,15 +143,26 @@ def find_surface(g, disk: DiskModel, accuracy=1e-2, max_steps=512):
                      / jnp.cos(g.incl + disk_theta))
 
     # expand r0 (x2) until the start point lies above the surface
-    def expand(_, r0):
+    # (early-exit while_loop: typical batches need 0-2 doublings; each
+    # probe is a P_int + two elliptic inversions)
+    def need_expand(r0):
         P1 = geodesic_P_int(g, r0, 0)
         r1 = geodesic_position_rad(g, P1)
         m1 = geodesic_position_pol(g, P1)
         H1 = r1 * m1
         Hd = disk.h(r1 * jnp.sqrt(1.0 - m1 ** 2))
-        return jnp.where((Hd >= H1) & (r0 < 5e6), 2.0 * r0, r0)
+        return (Hd >= H1) & (r0 < 5e6) & jnp.isfinite(P1)
 
-    r0 = jax.lax.fori_loop(0, 16, expand, r0)
+    def exp_cond(carry):
+        r0, i = carry
+        return (i < 16) & jnp.any(need_expand(r0))
+
+    def exp_body(carry):
+        r0, i = carry
+        return jnp.where(need_expand(r0), 2.0 * r0, r0), i + 1
+
+    r0, _ = jax.lax.while_loop(exp_cond, exp_body,
+                               (r0, jnp.zeros((), jnp.int32)))
     P = geodesic_P_int(g, r0, 0)
     r = geodesic_position_rad(g, P)
     m = geodesic_position_pol(g, P)
@@ -184,19 +195,25 @@ def find_surface(g, disk: DiskModel, accuracy=1e-2, max_steps=512):
         step = jnp.maximum(accuracy / 2.0,
                            jnp.minimum((H - Hd) / 2.0,
                                        0.5 * (jnp.sqrt(jnp.maximum(r, 1.0)) - 0.99) * sf))
+        # forward/revert steps are <= 0.5 (sqrt(r)-0.99) sf, i.e. <= 10
+        # substeps under the 5e-2 sqrt(r) clamp; 12 leaves margin
         Pn, rn, mn, stat = geodesic_follow(g, step, P, r, m,
-                                           max_substeps=16)
+                                           max_substeps=12)
         Rn = rn * jnp.sqrt(1.0 - mn ** 2)
         Hn = rn * mn
         Hdn = disk.h(Rn)
         crossed = (Hn <= Hdn) & alive & ~done
         # surface hit at fine resolution -> step back half and stop
         fine = crossed & (step < accuracy)
+        # the fine back-step only fires at step < accuracy (1e-2), which
+        # the 5e-2 sqrt(r) substep clamp covers in ONE substep -- a
+        # 2-substep scan is exact there and ~30% cheaper per iteration
+        # than padding to 16
         Pb, rb, mb, _ = geodesic_follow(g, -step / 2.0, Pn, rn, mn,
-                                        max_substeps=16)
+                                        max_substeps=2)
         # crossed but coarse -> revert the step, reduce step factor
         Pc, rc_, mc, _ = geodesic_follow(g, -step, Pn, rn, mn,
-                                         max_substeps=16)
+                                         max_substeps=12)
         # equatorial-plane shortcut (thin outer region)
         eqhit = (jnp.abs(Hn) < 1e-4) & alive & ~done & ~crossed & eq_ok
 
