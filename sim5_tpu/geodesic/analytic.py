@@ -370,19 +370,34 @@ def _T_roots(a, l, q, m0):
     m2m = X / (2.0 * a2)
     m2p = (2.0 * q) / X
 
-    bad_mp = (m2p <= 0.0) | (m2p >= 1.0)
+    # Validity gates carry a few-ulp slack: equator-grazing rays (beta ~ 0,
+    # the observer AT the theta turning point) have m2p - cos_i^2 =
+    # beta^2 sin^2 i / (...) ~ 1e-12, far below f32 rounding of m2p, so a
+    # strict |m0| <= sqrt(m2p) test rejects them at random in fast mode
+    # (every phi = 0/pi lane of a polar spectrum grid!) -- while the
+    # downstream Tip identity is cancellation-free there by construction.
+    # Same for near-polar rays (l ~ 0): m2p = 1 - O(l^2) legitimately
+    # ROUNDS to 1.0; only m2p > 1 is actually invalid.
+    # slack floor 1e-12: TPU "f64" is an emulated float-float whose
+    # effective rounding exceeds 8 eps_f64 -- without the floor the
+    # beta ~ 0 lanes pass on CPU-f64 and f32 but fail on TPU-f64, and
+    # the four backend/precision paths disagree by the lanes' solid angle
+    feps = max(8.0 * float(jnp.finfo(m2p.dtype).eps), 1e-12)
+    bad_mp = (m2p <= 0.0) | (m2p > 1.0 + feps)
     qpos = q > 0.0
     qneg = q < 0.0
 
     mm_pos = m2p / (m2p + m2m)
     mm_neg = (m2p + m2m) / m2p
     mm = jnp.where(qpos, mm_pos, mm_neg)
+    mm = jnp.minimum(mm, 1.0 - feps)
     bad_mm = (mm < 0.0) | (mm >= 1.0)
 
     sqrt_m2p = jnp.sqrt(jnp.maximum(m2p, 0.0))
+    m0_slack = sqrt_m2p * (1.0 + feps)
     bad_m0 = jnp.where(
-        qpos, jnp.abs(m0) > sqrt_m2p,
-        (jnp.abs(m0) > sqrt_m2p) | (jnp.abs(m0) < jnp.sqrt(jnp.maximum(-m2m, 0.0))))
+        qpos, jnp.abs(m0) > m0_slack,
+        (jnp.abs(m0) > m0_slack) | (jnp.abs(m0) < jnp.sqrt(jnp.maximum(-m2m, 0.0)) * (1.0 - feps)))
 
     mK = jnp.where(qpos,
                    1.0 / jnp.sqrt(a2 * (m2p + m2m)),

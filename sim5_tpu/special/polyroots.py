@@ -82,30 +82,84 @@ def quartic_roots(a3, a2, a1, a0):
     p = a2 - 3.0 * a3 * a3 / 8.0
     q = a1 - a3 * a2 / 2.0 + a3 ** 3 / 8.0
     r = a0 - a3 * a1 / 4.0 + a3 * a3 * a2 / 16.0 - 3.0 * a3 ** 4 / 256.0
+    # EXACT power-of-two rescale y = lam*u with p ~ lam^2, q ~ lam^3,
+    # r ~ lam^4: the resolvent-cubic discriminant needs ~(root scale)^12
+    # of dynamic range, which overflows f32 for root scales beyond ~1e3
+    # (the far cells of a spectrum quadrature grid reach 1e6 rg; their
+    # f32 classification returned garbage and the whole outer disk was
+    # masked out).  A power-of-two lam makes every division below exact,
+    # so well-scaled inputs are bit-identical to the unscaled path.
+    # f32-only at trace time: f64 has dynamic range to root scales ~1e75,
+    # and its emulated-TPU form cannot lower frexp's 64-bit bitcast.
+    if p.dtype == jnp.float32:
+        def _ex(v):
+            return jnp.frexp(jnp.where(v != 0.0, v, 1.0))[1]
+        e = jnp.maximum(jnp.maximum((_ex(p) + 1) // 2, (_ex(q) + 2) // 3),
+                        jnp.maximum((_ex(r) + 3) // 4, 0))
+        lam = jnp.exp2(e.astype(p.dtype))
+        il = 1.0 / lam
+        p = p * il * il
+        q = q * il * il * il
+        r = r * (il * il) * (il * il)
+    else:
+        lam = jnp.ones_like(p)
     # resolvent cubic: u^3 - p u^2 - 4 r u + (4 p r - q^2) = 0;
     # take the LARGEST real root so that w^2 = u - p >= 0
     cre, cim, _ = cubic_roots(-p, -4.0 * r, 4.0 * p * r - q * q)
     u = jnp.max(jnp.where(cim == 0.0, cre, -jnp.inf), axis=-1)
+    # Discriminant-boundary rescue: when the cubic's marginal three-real
+    # decision lands on the one-real branch, its single real root can be
+    # the WRONG pairing (w^2 = u - p ~ 0 while |q| is not negligible --
+    # far near-biquadratic rays in f32 hit this and produced garbage
+    # factorizations).  The complex pair's real part is the midpoint of
+    # the true near-double root pair; use it, but ONLY when the legit
+    # real root is degenerate (below rounding noise of u - p), so valid
+    # one-real configurations are untouched.
+    one_real = cim[..., 1] != 0.0
+    utol = 100.0 * jnp.finfo(u.dtype).eps * (jnp.abs(u) + jnp.abs(p))
+    yr = cre[..., 1]
+    u = jnp.where(one_real & (u - p < utol) & (yr - p > utol), yr, u)
     # factor into (y^2 + w y + c1)(y^2 - w y + c2), w = sqrt(u - p),
     # c1 = u/2 - q/(2w), c2 = u/2 + q/(2w)
     w2 = u - p
     w = jnp.sqrt(jnp.maximum(w2, 0.0))
-    w_zero = w2 <= 1e-14 * (jnp.abs(u) + jnp.abs(p))
+    # near-biquadratic detection must scale with the working precision:
+    # w2 = u - p is a subtraction of separately-rounded values, so below
+    # ~100 eps relative it is pure noise and sqrt(noise) would poison the
+    # factor pair (far spectrum-grid rays, whose odd term is ~1e-5 of the
+    # even ones, hit exactly this in f32: garbage w -> near-equal fake
+    # roots -> misclassified GEOD_TYPE_RR_DBL).  The dropped odd term is
+    # recovered by the compensated-Newton polish downstream.
+    w_zero = w2 <= 100.0 * jnp.finfo(w2.dtype).eps * (jnp.abs(u) + jnp.abs(p))
     w_safe = jnp.where(w_zero, 1.0, w)
     c1 = u / 2.0 - jnp.where(w_zero, 0.0, q / (2.0 * w_safe))
     c2 = u / 2.0 + jnp.where(w_zero, 0.0, q / (2.0 * w_safe))
     # w==0 (biquadratic, q~0) case: (y^2 + c1)(y^2 + c2) with
-    # c = (p -+ sqrt(p^2-4r))/2
+    # c = (p -+ sqrt(p^2-4r))/2, the cancelling partner recovered by
+    # Vieta (c1 c2 = r): the naive (p + sign(p) sd)/2 loses ALL digits
+    # for |r| << p^2 (far spectrum-grid rays are near-biquadratic with
+    # tiny constant term)
     d_b = p * p - 4.0 * r
     sd_b = jnp.sqrt(jnp.abs(d_b))
-    c1 = jnp.where(w_zero, (p - sd_b) / 2.0, c1)
-    c2 = jnp.where(w_zero, (p + sd_b) / 2.0, c2)
+    c_big = 0.5 * (p + jnp.sign(p) * sd_b)    # no cancellation side
+    c_big = jnp.where(jnp.sign(p) == 0.0, 0.5 * sd_b, c_big)
+    c_big_safe = jnp.where(c_big == 0.0, 1.0, c_big)
+    c_small = jnp.where(c_big == 0.0, 0.0, r / c_big_safe)
+    # keep the original ordering c1 = (p-sd)/2 <= c2 = (p+sd)/2
+    c1b = jnp.where(p >= 0.0, c_small, c_big)
+    c2b = jnp.where(p >= 0.0, c_big, c_small)
+    usable = d_b >= 0.0
+    c1 = jnp.where(w_zero & usable, c1b,
+                   jnp.where(w_zero, (p - sd_b) / 2.0, c1))
+    c2 = jnp.where(w_zero & usable, c2b,
+                   jnp.where(w_zero, (p + sd_b) / 2.0, c2))
     w = jnp.where(w_zero, 0.0, w)
 
     re1, im1, n1 = quadratic_roots(jnp.ones_like(w), w, c1)
     re2, im2, n2 = quadratic_roots(jnp.ones_like(w), -w, c2)
-    re = jnp.concatenate([re1, re2], -1) - sh[..., None]
-    im = jnp.concatenate([im1, im2], -1)
+    # undo the exact rescale (y = lam*u), then the depression shift
+    re = jnp.concatenate([re1, re2], -1) * lam[..., None] - sh[..., None]
+    im = jnp.concatenate([im1, im2], -1) * lam[..., None]
     return re, im, n1 + n2
 
 

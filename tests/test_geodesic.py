@@ -56,8 +56,17 @@ def test_init_status_agreement(geod_records):
     g = gd.geodesic_init_inf(arr[:, 1], arr[:, 0], arr[:, 2], arr[:, 3])
     ok_ref = arr[:, 4] == 1
     ok_new = np.asarray(g.status) == 0
-    # status agreement on >99% of rays (boundary cases may flip either way)
-    assert (ok_ref == ok_new).mean() > 0.99
+    # no capability regression: every ray the reference initializes, we do
+    assert not (ok_ref & ~ok_new).any()
+    # we additionally accept rays the reference rejects ONLY through its
+    # precision-truncated theta-root gates (round-4 validity-gate slack;
+    # PARITY.md known deviations): near-polar alpha ~ 0 rays where m2p
+    # rounds to 1.0 (its GD_ERROR_MUPLUS_RANGE = 8) and equator-grazing
+    # beta ~ 0 rays (GD_ERROR_MU0_RANGE = 9)
+    extra = ~ok_ref & ok_new
+    ref_err = arr[:, 5].astype(int)
+    assert np.isin(ref_err[extra], (8, 9)).all(), (
+        f"unexpected extra acceptances: codes {set(ref_err[extra])}")
 
 
 class TestInit:
