@@ -47,11 +47,14 @@ def fast_precision():
 
     Inside `with sim5_tpu.fast_precision():` every pipeline runs f32 --
     on TPU this is ~10-20x faster than the (emulated) f64 default.
-    Measured accuracy of the 512^2 Kerr a=0.998 disk image vs the f64
-    path: identical hit footprint; ~1.5e-5 of peak flux on TPU and ~1e-5
-    in IEEE f32 on CPU -- bench.py gates <=5e-5 on every run.  (TPU's
-    approximate f32 log would cost 2 decades here; the PT74 flux uses the
-    software log in utils/fastmath.py instead.)  Use the default f64 mode
-    when the full <=1e-6 parity with the C reference is required.
+    Measured accuracy vs the f64 path (round 4): the 512^2 Kerr a=0.998
+    disk image matches to 4.3e-6 of peak on-chip with an identical hit
+    footprint (bench.py gates <=5e-6 every run), and disk spectra match
+    to <=8e-7 relative across the full quadrature grid (far-field +
+    degenerate-lane robust; docs/performance.md).  (TPU's approximate
+    f32 transcendentals would cost 2-4 decades here; the hot paths use
+    the software replacements in utils/fastmath.py.)  Use the default
+    f64 mode when the full <=1e-6 parity with the C reference is
+    required.
     """
     return _jax.enable_x64(False)

@@ -71,7 +71,7 @@ def merge_shards(path, params, energies, meta=None, num_processes=None,
 def generate_disk_table(path, spins, mdots, incls, energies,
                         bh_mass=10.0, bh_dist=10.0, radres=0.3, angres=30.0,
                         process_id=0, num_processes=1, flush_every=1,
-                        merge=True, verbose=False, mesh=None):
+                        merge=True, verbose=False, mesh=None, fast=False):
     """Generate (or resume) a table of observed disk spectra.
 
     Grid axes: spin, mdot, incl [deg]; spectra on `energies` [keV].
@@ -86,29 +86,41 @@ def generate_disk_table(path, spins, mdots, incls, energies,
     the local devices (DiskRaytrace.spectrum's mesh argument) -- combine
     with num_processes for the two-level pod layout (rows across hosts,
     rays across each host's chips).
+
+    `fast=True` computes rows in f32 fast mode: ~4.3x per-row device
+    throughput vs TPU-emulated f64, verified to match f64 rows to
+    <=1e-5 relative (measured 7.6e-7 max; docs/performance.md, the
+    round-4 far-field/degenerate-lane robustness work).  Stored spectra
+    are f64 either way; the mode is recorded in the table meta.
     """
+    import contextlib
+    import jax
+
     params = [("spin", spins), ("mdot", mdots), ("incl", incls)]
     meta = dict(bh_mass=bh_mass, bh_dist=bh_dist, radres=radres,
-                angres=angres)
+                angres=angres, fast=bool(fast))
     table = SpectralTable.create(
         shard_path(path, process_id, num_processes), params, energies,
         meta=meta)
     n_written = 0
-    for (indices, rowpars) in table.generator():
-        idx = indices[0]
-        if idx % num_processes != process_id:
-            continue
-        p = rowpars[0]
-        disk = ThinDisk.create(bh_mass, float(p["spin"]), float(p["mdot"]))
-        rt = DiskRaytrace(bh_mass, float(p["spin"]), bh_dist, disk,
-                          DiskSpectrum_BlackBody())
-        spec, _ = rt.spectrum(float(p["incl"]), energies,
-                              radres=radres, angres=angres, mesh=mesh)
-        n_written += 1
-        table.write(idx, spec, flush=(n_written % flush_every == 0))
-        if verbose:
-            done, total = table.progress
-            print(f"[tables] row {idx} done ({done}/{total})")
+    ctx = jax.enable_x64(False) if fast else contextlib.nullcontext()
+    with ctx:
+        for (indices, rowpars) in table.generator():
+            idx = indices[0]
+            if idx % num_processes != process_id:
+                continue
+            p = rowpars[0]
+            disk = ThinDisk.create(bh_mass, float(p["spin"]),
+                                   float(p["mdot"]))
+            rt = DiskRaytrace(bh_mass, float(p["spin"]), bh_dist, disk,
+                              DiskSpectrum_BlackBody())
+            spec, _ = rt.spectrum(float(p["incl"]), energies,
+                                  radres=radres, angres=angres, mesh=mesh)
+            n_written += 1
+            table.write(idx, spec, flush=(n_written % flush_every == 0))
+            if verbose:
+                done, total = table.progress
+                print(f"[tables] row {idx} done ({done}/{total})")
     table.save()
     if num_processes > 1 and merge and process_id == 0:
         return merge_shards(path, params, energies, meta=meta,

@@ -93,6 +93,25 @@ class TestSpectralTable:
         np.testing.assert_allclose(again.spectra, single.spectra, rtol=1e-12)
 
 
+class TestFastTable:
+    def test_fast_rows_match_f64_rows(self, tmp_path):
+        """generate_disk_table(fast=True) runs rows in verified f32 fast
+        mode (round-4: far-field/degenerate-lane robust); rows must match
+        the f64 table to <=1e-5 relative on significant bins."""
+        from sim5_tpu.tables import generate_disk_table
+        E = np.geomspace(0.5, 8.0, 12)
+        kw = dict(spins=[0.7], mdots=[0.1], incls=[60.0], energies=E,
+                  radres=1.0, angres=10.0)
+        t64 = generate_disk_table(str(tmp_path / "t64.npz"), **kw)
+        t32 = generate_disk_table(str(tmp_path / "t32.npz"), fast=True,
+                                  **kw)
+        assert t32.meta["fast"] is True
+        a, b = t64.spectra[0], t32.spectra[0]
+        nz = a > 1e-6 * a.max()
+        rel = np.abs(b[nz] - a[nz]) / a[nz]
+        assert rel.max() < 1e-5, f"fast-row rel err {rel.max():.2e}"
+
+
 class TestFitsIO:
     """Unit tests of the pure-numpy FITS layer (utils/fitsio.py)."""
 
