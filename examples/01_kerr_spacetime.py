@@ -7,6 +7,10 @@ the whole spin grid instead of a scalar loop.
 Run: python examples/01_kerr_spacetime.py
 """
 
+import pathlib as _pl
+import sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 from sim5_tpu.core import r_bh, r_ph, r_mb, r_ms

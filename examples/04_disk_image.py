@@ -7,6 +7,10 @@ as one jitted array program; prints the photon rate like the reference.
 Run: python examples/04_disk_image.py <spin> <inclination_deg> [npix]
 """
 
+import pathlib as _pl
+import sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+
 import sys
 import time
 

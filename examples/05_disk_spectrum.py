@@ -6,6 +6,10 @@ Mirrors the reference DiskRaytrace.spectrum driver
 Run: python examples/05_disk_spectrum.py [spin] [incl_deg]
 """
 
+import pathlib as _pl
+import sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+
 import sys
 
 import numpy as np

@@ -3,6 +3,10 @@
 Run: python examples/06_polarization_map.py [spin] [incl_deg] [npix]
 """
 
+import pathlib as _pl
+import sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+
 import sys
 
 import numpy as np

@@ -4,6 +4,10 @@ Run twice to see resume-from-checkpoint in action:
     python examples/08_spectral_table.py table.npz
 """
 
+import pathlib as _pl
+import sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+
 import sys
 
 import numpy as np

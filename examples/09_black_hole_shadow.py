@@ -11,6 +11,10 @@ Run: python examples/09_black_hole_shadow.py <spin> <inclination_deg> [npix]
 Outputs shadow_<spin>_<incl>.npz with captured/r/g/flux maps.
 """
 
+import pathlib as _pl
+import sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+
 import sys
 import time
 

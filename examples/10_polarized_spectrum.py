@@ -9,6 +9,10 @@ product.
 Usage: python examples/10_polarized_spectrum.py [spin] [incl_deg]
 """
 
+import pathlib as _pl
+import sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+
 import sys
 
 import numpy as np

@@ -13,6 +13,10 @@ transfer runs inside the Pallas TPU kernel (or the XLA twin on CPU).
 Usage: python examples/11_thick_volume_transfer.py [spin] [incl_deg]
 """
 
+import pathlib as _pl
+import sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+
 import sys
 
 import numpy as np
