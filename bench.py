@@ -114,12 +114,13 @@ def march_benchmark():
         done = ~np.asarray(act)
         r_fin = np.asarray(st.x[..., 1])
         drift = np.asarray(raytrace_error(st))
-        # gates tightened in round 3 (1e-4 -> 1e-5, 0.95 -> 0.99) after the
-        # masked revert-and-retry controller landed in both engines
-        # (reference semantics sim5raytrace.c:217-227); measured: 1 NaN ray
-        # in 131072 (a polar-pass coordinate pathology) and 99.96% escaped
+        # gate history: 1e-4 -> 1e-5 (round 3, revert-and-retry controller)
+        # -> 0 (round 4: non-finite trials at the retry floor FREEZE the
+        # ray at its last finite state with error=inf instead of writing
+        # NaN, so a NaN position can no longer enter the batch at all --
+        # the old behavior lost ~1 ray in 1e5 to polar-pass pathologies)
         nan_frac = float((~np.isfinite(r_fin)).mean())
-        assert nan_frac <= 1e-5, f"march NaN fraction {nan_frac:.2e}"
+        assert nan_frac == 0.0, f"march NaN fraction {nan_frac:.2e}"
         assert done.mean() > 0.99, f"only {done.mean():.3f} rays finished"
         esc = done & (r_fin >= 500.0) & np.isfinite(drift)
         assert esc.mean() > 0.99, f"only {esc.mean():.4f} rays escaped"

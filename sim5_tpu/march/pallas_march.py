@@ -168,7 +168,12 @@ def _make_kernel(opt_gr, opt_pol, max_steps, max_step_dl,
             bad = jnp.logical_not(jnp.isfinite(e_new) & jnp.isfinite(xn[1]))
             reject = active & (bad | (e_new > error_gate)) \
                 & (eps > eps0 / 64.0)
-            acc = active & jnp.logical_not(reject)
+            # non-finite trials at the shrink floor FREEZE the ray at its
+            # last finite state with error = "inf" (1e30 f32): the active
+            # update below deactivates it without a NaN position ever
+            # entering the batch (see raytrace.py for the same rule)
+            fail_floor = active & bad & jnp.logical_not(reject)
+            acc = active & jnp.logical_not(reject) & jnp.logical_not(bad)
             eps = jnp.where(reject, jnp.maximum(0.5 * eps, eps0 / 128.0),
                             jnp.where(acc, jnp.minimum(eps0, 1.3 * eps),
                                       eps))
@@ -178,7 +183,8 @@ def _make_kernel(opt_gr, opt_pol, max_steps, max_step_dl,
             if opt_pol:
                 f = [jnp.where(acc, fn[i], f[i]) for i in range(4)]
             kt = jnp.where(acc, kt_new, kt)
-            err = jnp.where(acc, e_new, err)
+            err = jnp.where(acc, e_new,
+                            jnp.where(fail_floor, 1e30, err))
             steps = steps + act_f
 
             if emissivity_fn is not None:

@@ -177,12 +177,17 @@ def raytrace_step(state: RaytraceState, max_step=1e9, active=None,
     err = jnp.maximum(jnp.abs(kt_new - state.kt) / (jnp.abs(state.kt) + _TINY), kk)
 
     # reject non-finite or over-gate trials while the ray still has shrink
-    # budget; at the floor the trial is accepted and the driver's gates
-    # (isfinite / error_stop) decide the ray's fate, exactly as pre-retry
+    # budget; at the floor a FINITE over-gate trial is accepted and the
+    # driver's error_stop gate decides the ray's fate (as pre-retry), but
+    # a NON-FINITE trial is never written: the ray FREEZES at its last
+    # finite state with error = inf, so the driver deactivates it without
+    # a NaN position ever entering the batch (the old behavior produced
+    # ~1-in-1e5 NaN rays on polar-pass coordinate pathologies)
     bad = ~jnp.isfinite(err) | ~jnp.isfinite(xn[..., 1])
     reject = active & (bad | (err > error_gate)) \
         & (state.step_epsilon > eps0 / 64.0)
-    acc = active & ~reject
+    fail_floor = active & bad & ~reject
+    acc = active & ~reject & ~bad
     eps_new = jnp.where(reject, jnp.maximum(0.5 * state.step_epsilon,
                                             eps0 / 128.0),
                         jnp.where(acc, jnp.minimum(eps0,
@@ -195,7 +200,8 @@ def raytrace_step(state: RaytraceState, max_step=1e9, active=None,
         k=jnp.where(sel, kn, state.k),
         f=jnp.where(sel, fn, state.f),
         kt=jnp.where(acc, kt_new, state.kt),
-        error=jnp.where(acc, err, state.error),
+        error=jnp.where(acc, err,
+                        jnp.where(fail_floor, jnp.inf, state.error)),
         steps=state.steps + active.astype(jnp.int32),
         step_epsilon=eps_new,
     ), dl
