@@ -46,10 +46,13 @@ def set_duplication_mode(mode):
 def _ndup():
     """Duplication depth for the active precision.
 
-    In f32 fast mode 8 levels already reach the f32 noise floor (measured
-    rel. err vs 16 levels: ~8e-7), so the depth is halved there.
+    In f32 fast mode 7 levels reach the f32 noise floor: measured <=1.5e-7
+    relative across the framework's argument surface including extreme
+    homogeneity-transformed triples like (1e-10, 0.3, 1e-10) (depth sweep
+    6/7/8 vs f64); the 512^2 image gate measures 4.25e-6 of peak at depth
+    7, equal to depth 8 within noise, at ~4% less VPU work.
     """
-    return _NDUP if jnp.zeros((), jnp.float64).dtype == jnp.float64 else 8
+    return _NDUP if jnp.zeros((), jnp.float64).dtype == jnp.float64 else 7
 
 
 def _iterate(n, body, state):
