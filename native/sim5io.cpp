@@ -61,6 +61,7 @@ struct Writer {
     std::atomic<int> in_flight{0};
     std::atomic<uint64_t> bytes_written{0};
     std::atomic<uint64_t> errors{0};
+    std::atomic<uint64_t> tmp_seq{0};
     bool stop = false;
 
     explicit Writer(int n_threads) {
@@ -119,9 +120,13 @@ struct Writer {
     }
 
     void write_atomic(const Job& job) {
-        // write to <path>.tmp then rename -- a crash never corrupts the
-        // previous checkpoint
-        std::string tmp = job.path + ".s5tmp";
+        // write to <path>.s5tmp<seq> then rename -- a crash never corrupts
+        // the previous checkpoint, and the per-job unique suffix keeps two
+        // in-flight flushes of the SAME path from interleaving bytes in a
+        // shared tmp file before their renames (rename itself is atomic,
+        // so the path always holds one complete, CRC-valid snapshot)
+        std::string tmp = job.path + ".s5tmp"
+            + std::to_string(tmp_seq.fetch_add(1));
         FILE* f = std::fopen(tmp.c_str(), "wb");
         if (!f) { errors.fetch_add(1); return; }
         size_t n = std::fwrite(job.data.data(), 1, job.data.size(), f);

@@ -44,6 +44,13 @@ _HALF_PI = jnp.pi / 2.0
 _BIG = 1e300
 
 
+def _tinyf(x):
+    """Smallest-normal floor for x's dtype: the repo-wide guard value for
+    positive quantities.  A literal 1e-300 flushes to 0.0 in the f32 fast
+    mode and silently disables the guard (advisor finding, round 4)."""
+    return jnp.finfo(jnp.asarray(x).dtype).tiny
+
+
 def _theta_int(g: Geodesic, x):
     """T-integral from m=x to mu_plus:  mK * icn(x/sqrt(m2p), mm).
 
@@ -189,7 +196,7 @@ def _rc_geometry(t1, t2, tu, tv):
     mm = ((ApB) ** 2 - (t1 - t2) ** 2) / (4.0 * A * B)
     mmc = ((t1 - t2) ** 2 * (hm1 + hm2) * (hp1 + hp2)
            / (4.0 * A * B * ApB ** 2))
-    return A, B, AmB, jnp.clip(mm, 0.0, 1.0), jnp.clip(mmc, 1e-300, 1.0)
+    return A, B, AmB, jnp.clip(mm, 0.0, 1.0), jnp.clip(mmc, _tinyf(mmc), 1.0)
 
 
 def _cc_complement(b1, a1, b2, a2_, A_cc, B_cc):
@@ -199,7 +206,7 @@ def _cc_complement(b1, a1, b2, a2_, A_cc, B_cc):
     marginally-critical CC rays (a1 a2 -> 0), the inside-the-shadow twin
     of the RC degeneracy above."""
     AmB = 4.0 * a1 * a2_ / (A_cc + B_cc)
-    return AmB, jnp.clip((AmB / (A_cc + B_cc)) ** 2, 1e-300, 1.0)
+    return AmB, jnp.clip((AmB / (A_cc + B_cc)) ** 2, _tinyf(AmB), 1.0)
 
 
 def _R_roots(a, l, q, r0):
@@ -401,7 +408,7 @@ def _T_roots(a, l, q, m0):
 
     mK = jnp.where(qpos,
                    1.0 / jnp.sqrt(a2 * (m2p + m2m)),
-                   1.0 / jnp.sqrt(a2 * jnp.maximum(m2p, 1e-300)))
+                   1.0 / jnp.sqrt(a2 * jnp.maximum(m2p, _tinyf(m2p))))
 
     status = jnp.where(bad_mp, GD_ERROR_MUPLUS_RANGE,
                        jnp.where(bad_mm, GD_ERROR_MM_RANGE,
@@ -478,7 +485,7 @@ def geodesic_init_inf(i, a, alpha, beta):
     eps_ident = jnp.where(denom > 0.0, eps_ident, 0.5)
     eps_direct = (m2p - cos_i ** 2) / m2p
     eps = jnp.where(eps_direct > 1e-6, eps_direct, eps_ident)
-    eps = jnp.clip(eps, 1e-300, 1.0)
+    eps = jnp.clip(eps, _tinyf(eps), 1.0)
     # vortical (q < 0) rays take the dn-form integral
     # mK * idn(cos_i/sqrt(m2p), mm) with idn(y) = isn(sqrt((1-y^2)/mm))
     # (see _theta_pol_vortical); reuses the cancellation-free eps = 1-y^2.
@@ -492,7 +499,7 @@ def geodesic_init_inf(i, a, alpha, beta):
     #          complement mm_c -- stable when mm -> 1 and eps -> 1)
     #   q < 0: e = sn2v, y = 1 - mm sn2v (direct; mm < 1 there)
     qneg = q < 0.0
-    sn2v = jnp.clip(eps / jnp.maximum(mm, 1e-300), 0.0, 1.0 - 1e-12)
+    sn2v = jnp.clip(eps / jnp.maximum(mm, _tinyf(mm)), 0.0, 1.0 - 1e-12)
     e_sel = jnp.where(qneg, sn2v, eps)
     y_sel = jnp.where(qneg, 1.0 - mm * sn2v, (1.0 - eps) + eps * mm_c)
     Tip = mK * jnp.sqrt(e_sel) * rf(1.0 - e_sel, y_sel, jnp.ones_like(e_sel))
@@ -740,7 +747,7 @@ def geodesic_position_rad(g: Geodesic, P):
     d24 = jnp.where(is4, g.root_diff(1, 3), 4.0)
     d34 = jnp.where(is4, g.root_diff(2, 3), 2.0)
     m4 = (d23 * d14) / (d24 * d13)
-    m4c = jnp.clip((d12 * d34) / (d24 * d13), 1e-300, 1.0)
+    m4c = jnp.clip((d12 * d34) / (d24 * d13), _tinyf(d12), 1.0)
     x4 = 0.5 * jnp.abs(Ps - g.Rpc) * jnp.sqrt(d13 * d24)
 
     t1 = jnp.where(is_rc, g.rr[..., 0], 6.0)
@@ -786,7 +793,7 @@ def geodesic_position_rad(g: Geodesic, P):
     # flux error ~1e-6 of peak in f32 (the old form: 4e-4)
     cn2_rr = jnp.where(is4, cn * cn, 0.5)
     D_rr = d24 * cn2_rr - d12 * sn2
-    r_rr = r2 + d12 * d24 / jnp.where(D_rr != 0.0, D_rr, 1e-300)
+    r_rr = r2 + d12 * d24 / jnp.where(D_rr != 0.0, D_rr, _tinyf(D_rr))
     # RR_BH: sn^2 interpolates r2 (P=Rpc) -> r3 (P=0 or 2Rpc) on the
     # inner band:  w = sn^2 (r2-r3)/(r1-r3);  r = (r2 - w r1)/(1 - w)
     w_bh = sn2 * d23 / d13
@@ -973,7 +980,7 @@ def _cc_time_radial(g: Geodesic, cc, P1, P2):
     q4 = c1r * c2r
     Q1 = 1.0 + s * (-2.0 * b1[..., None] + s * c1r[..., None])
     Q2 = 1.0 + s * (-2.0 * b2[..., None] + s * c2r[..., None])
-    S = jnp.sqrt(jnp.maximum(Q1 * Q2, 1e-300))
+    S = jnp.sqrt(jnp.maximum(Q1 * Q2, _tinyf(Q1)))
     poly = (q1[..., None] / s + q2[..., None]
             + s * (q3[..., None] + s * q4[..., None]))
     W = (4.0

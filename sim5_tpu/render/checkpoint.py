@@ -20,6 +20,12 @@ import zlib
 import numpy as np
 
 
+def _json_roundtrip(meta):
+    """Meta as it reads back from the JSON manifest (so resume comparisons
+    are type-stable: tuples -> lists, np scalars -> python numbers)."""
+    return json.loads(json.dumps(dict(meta or {})))
+
+
 class FrameCheckpoint:
     """Resumable stack of `n_frames` frames of fixed `frame_shape`."""
 
@@ -43,12 +49,27 @@ class FrameCheckpoint:
     def create(cls, path, n_frames, frame_shape, meta=None,
                overwrite=False):
         """Create a new checkpoint, or re-open an existing compatible one
-        to resume (unless overwrite=True)."""
+        to resume (unless overwrite=True).
+
+        Compatibility includes `meta`: a checkpoint written for different
+        physics (different spin, inclination, ...) is NOT silently
+        resumed -- it is discarded and restarted fresh, with a logged
+        warning (resuming it would return stale frames labeled with the
+        new parameters).  Pass meta=None to skip the check.
+        """
         if os.path.exists(path) and not overwrite:
             c = cls.open(path)
-            if (c.n_frames == int(n_frames)
-                    and c.frame_shape == tuple(int(s) for s in frame_shape)):
+            shape_ok = (c.n_frames == int(n_frames)
+                        and c.frame_shape == tuple(int(s)
+                                                   for s in frame_shape))
+            meta_ok = meta is None or c.meta == _json_roundtrip(meta)
+            if shape_ok and meta_ok:
                 return c
+            if shape_ok and not meta_ok:
+                from ..utils.log import get_logger, log_run
+                log_run(get_logger(), "checkpoint_meta_mismatch_restart",
+                        path=path, stored=c.meta,
+                        requested=_json_roundtrip(meta))
         c = cls(path, n_frames, frame_shape, meta=meta)
         c.save()
         return c
@@ -128,6 +149,11 @@ def checkpointed_frames(path, compute_fn, n_frames, frame_shape,
             ck.save_async(writer)
         else:
             ck.write(i, frame, flush=flush)
+    if writer is not None:
+        # drain in-flight async snapshots BEFORE the final synchronous
+        # save: a late async rename landing after it would replace the
+        # complete checkpoint with a stale partial one
+        writer.flush()
     ck.save()
     return ck
 

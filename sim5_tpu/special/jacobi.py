@@ -5,12 +5,42 @@ The forward functions use the Gauss/AGM scheme of the reference
 per-element masks so that batches evaluate in lockstep on the TPU VPU.
 The inverse functions are closed forms in Carlson RF (sim5elliptic.c:480-528).
 
+Analytic derivatives (SURVEY build item 3): `jacobi_sncndn` carries a
+`jax.custom_jvp` rule so reverse-mode AD never re-materializes the AGM
+chain.  The u-derivatives are algebraic in (sn, cn, dn):
+
+    d sn/du = cn dn,   d cn/du = -sn dn,   d dn/du = -m sn cn
+
+and the m-derivatives follow from the Jacobi epsilon function
+eps(u,m) = E(am u, m) (derived by differentiating the defining integral
+u = int_0^sn dt/sqrt((1-t^2)(1-m t^2)) under the integral sign):
+
+    d sn/dm =  cn ((u(1-m) - eps) dn + m sn cn) / (2 m (1-m))
+    d cn/dm = -sn ((u(1-m) - eps) dn + m sn cn) / (2 m (1-m))
+    d dn/dm = -sn (sn dn + cn (u(1-m) - eps)) / (2 (1-m))
+
+with eps evaluated through Carlson RF/RD of (cn^2, dn^2, 1) plus the
+quasi-periodic reduction eps(u + 2nK) = eps(u) + 2nE.  Near the parameter
+endpoints the closed forms cancel catastrophically (both numerators are
+O(m) as m -> 0 and O(1-m) as m -> 1), so the rule blends to the exact
+endpoint asymptotics below sqrt(eps) distance from either end -- the same
+crossover at which the closed-form rounding error overtakes the
+asymptotics' truncation error.
+
+The inverse functions (isn/icn/itn) are closed forms in RF; their
+derivatives COMPOSE through rf's analytic custom rule, which reproduces
+the inverse-function closed forms exactly (e.g. d isn/dz =
+1/sqrt((1-z^2)(1-m z^2)) falls out of dRF/dx = -RD/6 plus the product
+rule), so no separate rules are attached.
+
 Conventions: the modulus argument is m = k^2 (Byrd & Friedman), 0 <= m < 1.
 """
 
+import jax
 import jax.numpy as jnp
+from jax.custom_derivatives import SymbolicZero
 
-from .carlson import rf
+from .carlson import rf, _rd_chain, _rf_tail, _rd_tail, _tiny_for
 
 _NAGM = 13      # AGM depth (matches reference array size; converges ~quadratically)
 _CA = 1.0e-8    # AGM convergence tolerance (reference sim5elliptic.c:544)
@@ -21,32 +51,15 @@ def _nagm():
     return _NAGM if jnp.zeros((), jnp.float64).dtype == jnp.float64 else 8
 
 
-def jacobi_sncndn(u, m, mc=None):
-    """Jacobi elliptic functions (sn, cn, dn)(u | m) for 0 <= m < 1.
+@jax.custom_jvp
+def _sncndn_core(u, emc):
+    """(sn, cn, dn)(u | m = 1 - emc) with the complement emc as THE
+    parameter argument (pre-clamped to (0, 1] by the wrapper).
 
-    Valid for any real u (the AGM scheme is periodic-exact); the reference
-    restricts u <= 2K(m) in some callers but the scheme itself does not.
-    (reference: sim5elliptic.c:536-598)
-
-    `mc`, when given, is the exact complementary parameter 1 - m computed
-    cancellation-free by the caller; the AGM consumes the complement
-    directly (its seed is (1, k' = sqrt(mc))), so for m -> 1 the result
-    keeps the complement's full relative accuracy -- forming 1 - m here
-    would floor mc at ulp(1) and destroy it.  (The NR-family sncndn takes
-    the complement as ITS argument for the same reason.)
+    The AGM consumes the complement directly (its seed is (1, k' =
+    sqrt(emc))), so for m -> 1 the result keeps the complement's full
+    relative accuracy.  (reference: sim5elliptic.c:536-598)
     """
-    u = jnp.asarray(u, jnp.float64)
-    m = jnp.asarray(m, jnp.float64)
-    if mc is None:
-        u, m = jnp.broadcast_arrays(u, m)
-        # clamp m==1 like the reference (sim5elliptic.c:542)
-        m = jnp.where(m >= 1.0, 0.999999999, m)
-        emc = 1.0 - m
-    else:
-        mc = jnp.asarray(mc, jnp.float64)
-        u, m, mc = jnp.broadcast_arrays(u, m, mc)
-        emc = jnp.where(mc <= 0.0, 1e-9, mc)
-
     # ascending AGM with convergence freeze -- UNROLLED so the whole chain
     # fuses into one VPU kernel (a lax.scan would stack the per-level arrays
     # through HBM every iteration)
@@ -99,6 +112,108 @@ def jacobi_sncndn(u, m, mc=None):
     return sn_out, cn_out, dn
 
 
+def _sncndn_core_jvp(primals, tangents):
+    u, emc = primals
+    du, demc = tangents
+    sn, cn, dn = _sncndn_core(u, emc)
+    dt = sn.dtype
+    feps = jnp.finfo(dt).eps
+    m = 1.0 - emc
+
+    d_sn = jnp.zeros_like(sn)
+    d_cn = jnp.zeros_like(cn)
+    d_dn = jnp.zeros_like(dn)
+    if not isinstance(du, SymbolicZero):
+        duv = jnp.asarray(du, dt)
+        d_sn = d_sn + cn * dn * duv
+        d_cn = d_cn - sn * dn * duv
+        d_dn = d_dn - m * sn * cn * duv
+    if not isinstance(demc, SymbolicZero):
+        # eps(u, m) via Carlson + quasi-period reduction (module docstring).
+        # Each RF+RD pair at shared arguments comes from ONE duplication
+        # chain (_rd_chain with the z-slot accumulator): two chains total
+        # for the complete (K, E) and incomplete pairs.
+        one = jnp.ones_like(sn)
+        tiny = _tiny_for(dt)
+        ct, et, ot, fac_c, s_c, _ = _rd_chain(
+            jnp.full_like(sn, tiny), jnp.maximum(emc, tiny), one, slots=(2,))
+        K = _rf_tail(ct, et, ot)
+        E = K - m * (3.0 * s_c[2] + fac_c * _rd_tail(ct, et, ot)) / 3.0
+        cn2, dn2 = cn * cn, dn * dn
+        it_, jt_, kt_, fac_i, s_i, _ = _rd_chain(
+            jnp.maximum(cn2, tiny), jnp.maximum(dn2, tiny), one, slots=(2,))
+        F_inc = _rf_tail(it_, jt_, kt_)
+        D_inc = 3.0 * s_i[2] + fac_i * _rd_tail(it_, jt_, kt_)
+        eps_inc = sn * F_inc - (m / 3.0) * sn ** 3 * D_inc
+        n = jnp.floor((u + K) / (2.0 * K))
+        sgn = jnp.where(jnp.mod(n, 2.0) == 0.0, 1.0, -1.0)
+        eps_u = 2.0 * n * E + sgn * eps_inc
+
+        W = u * emc - eps_u
+        m_s = jnp.maximum(m, 1e-30)
+        emc_s = jnp.maximum(emc, 1e-30)
+        N = W * dn + m * sn * cn
+        g_sn = cn * N / (2.0 * m_s * emc_s)
+        g_cn = -sn * N / (2.0 * m_s * emc_s)
+        g_dn = -sn * (sn * dn + cn * W) / (2.0 * emc_s)
+
+        # endpoint asymptotics (exact O(m) / O(emc) limits; see docstring)
+        ucd = u * cn * dn
+        a0_sn = -(u - sn * cn) * cn / 4.0           # m -> 0
+        a0_cn = sn * (u - sn * cn) / 4.0
+        a0_dn = -sn * sn / 2.0
+        cn_g = jnp.where(jnp.abs(cn) > 1e-30, cn,
+                         jnp.where(cn >= 0.0, 1e-30, -1e-30))
+        a1_sn = -(sn - ucd) / 4.0                   # m -> 1
+        a1_cn = (sn / cn_g) * (sn - ucd) / 4.0
+        a1_dn = -sn * (sn + ucd) / (4.0 * jnp.maximum(dn, 1e-30))
+
+        th = jnp.sqrt(feps)
+        dm_sn = jnp.where(m < th, a0_sn, jnp.where(emc < th, a1_sn, g_sn))
+        dm_cn = jnp.where(m < th, a0_cn, jnp.where(emc < th, a1_cn, g_cn))
+        dm_dn = jnp.where(m < th, a0_dn, jnp.where(emc < th, a1_dn, g_dn))
+
+        dmv = -jnp.asarray(demc, dt)    # d/d emc = -d/dm
+        d_sn = d_sn + dm_sn * dmv
+        d_cn = d_cn + dm_cn * dmv
+        d_dn = d_dn + dm_dn * dmv
+    return (sn, cn, dn), (d_sn, d_cn, d_dn)
+
+
+_sncndn_core.defjvp(_sncndn_core_jvp, symbolic_zeros=True)
+
+
+def jacobi_sncndn(u, m, mc=None):
+    """Jacobi elliptic functions (sn, cn, dn)(u | m) for 0 <= m < 1.
+
+    Valid for any real u (the AGM scheme is periodic-exact); the reference
+    restricts u <= 2K(m) in some callers but the scheme itself does not.
+    (reference: sim5elliptic.c:536-598)
+
+    `mc`, when given, is the exact complementary parameter 1 - m computed
+    cancellation-free by the caller; the AGM consumes the complement
+    directly, so for m -> 1 the result keeps the complement's full
+    relative accuracy -- forming 1 - m here would floor mc at ulp(1) and
+    destroy it.  (The NR-family sncndn takes the complement as ITS
+    argument for the same reason.)
+
+    Differentiable in (u, m) / (u, mc) through `_sncndn_core`'s analytic
+    custom rule (module docstring).
+    """
+    u = jnp.asarray(u, jnp.float64)
+    m = jnp.asarray(m, jnp.float64)
+    if mc is None:
+        u, m = jnp.broadcast_arrays(u, m)
+        # clamp m==1 like the reference (sim5elliptic.c:542)
+        m = jnp.where(m >= 1.0, 0.999999999, m)
+        emc = 1.0 - m
+    else:
+        mc = jnp.asarray(mc, jnp.float64)
+        u, m, mc = jnp.broadcast_arrays(u, m, mc)
+        emc = jnp.where(mc <= 0.0, 1e-9, mc)
+    return _sncndn_core(u, emc)
+
+
 def jacobi_sn(u, m):
     return jacobi_sncndn(u, m)[0]
 
@@ -115,6 +230,8 @@ def jacobi_isn(z, m):
     """Inverse Jacobi sn: u with sn(u|m)=z, for -1 < z < 1, 0 <= m < 1.
 
     (reference: sim5elliptic.c:480-486; BF 132.02/132.01 limits included)
+    Derivatives compose through rf's analytic rule (the closed
+    inverse-function forms, see module docstring).
     """
     z = jnp.asarray(z, jnp.float64)
     m = jnp.asarray(m, jnp.float64)

@@ -5,6 +5,7 @@ Vectorized equivalents of sim5polyroots.c.  Roots are returned as separate
 onto TPU vector registers.
 """
 
+import jax
 import jax.numpy as jnp
 
 
@@ -89,11 +90,25 @@ def quartic_roots(a3, a2, a1, a0):
     # f32 classification returned garbage and the whole outer disk was
     # masked out).  A power-of-two lam makes every division below exact,
     # so well-scaled inputs are bit-identical to the unscaled path.
-    # f32-only at trace time: f64 has dynamic range to root scales ~1e75,
-    # and its emulated-TPU form cannot lower frexp's 64-bit bitcast.
+    # Gated on EFFECTIVE EXPONENT RANGE, not dtype: IEEE f64 (CPU) has
+    # range to root scales ~1e75 and skips the rescale, but TPU "f64" is
+    # an emulated float-float with f32 EXPONENT range (overflow ~3.4e38),
+    # so the default f64 mode on TPU needs it too (far spectrum cells at
+    # 1e6 rg have discriminants ~1e72).  frexp's 64-bit bitcast cannot
+    # lower on emulated f64, so the TPU-f64 path extracts the exponent via
+    # log2 instead; lam is then within 1 ulp of a power of two rather than
+    # exact, costing one ordinary rounding per coefficient (recovered by
+    # the compensated-Newton polish downstream) instead of overflow.
     if p.dtype == jnp.float32:
         def _ex(v):
             return jnp.frexp(jnp.where(v != 0.0, v, 1.0))[1]
+    elif jax.default_backend() == "tpu":
+        def _ex(v):
+            av = jnp.abs(jnp.where(v != 0.0, v, 1.0))
+            return (jnp.ceil(jnp.log2(av)) + 1.0).astype(jnp.int32)
+    else:
+        _ex = None
+    if _ex is not None:
         e = jnp.maximum(jnp.maximum((_ex(p) + 1) // 2, (_ex(q) + 2) // 3),
                         jnp.maximum((_ex(r) + 3) // 4, 0))
         lam = jnp.exp2(e.astype(p.dtype))

@@ -45,13 +45,21 @@ class SpectralTable:
     def create(cls, path, params, energies, meta=None, overwrite=False):
         """Create a new table (or re-open an existing compatible one for
         resume, unless overwrite=True).  (reference: Sim5_FitsTable.__init__,
-        sim5fitstable.py:20-60)"""
+        sim5fitstable.py:20-60)
+
+        Compatibility includes `meta` (physics parameters, fast/radres/
+        angres generation settings): a grid whose meta differs is restarted
+        fresh instead of silently resumed with stale rows.  Pass meta=None
+        to skip the check.
+        """
         if os.path.exists(path) and not overwrite:
             t = cls.open(path)
             same = (len(t.params) == len(params)
                     and all(n1 == str(n2) and np.array_equal(v1, np.asarray(v2))
                             for (n1, v1), (n2, v2) in zip(t.params, params))
-                    and np.array_equal(t.energies, np.asarray(energies)))
+                    and np.array_equal(t.energies, np.asarray(energies))
+                    and (meta is None or t.meta
+                         == json.loads(json.dumps(dict(meta)))))
             if same:
                 return t
         t = cls(path, params, energies, meta=meta)
