@@ -15,6 +15,13 @@ import pathlib as _pl
 import sys as _sys
 _sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
 
+import os as _os
+if _os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the container sitecustomize force-registers the TPU backend; honor
+    # an explicit CPU request (CI runs the examples on the CPU backend)
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
+
 import sys
 import time
 

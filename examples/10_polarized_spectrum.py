@@ -13,6 +13,14 @@ import pathlib as _pl
 import sys as _sys
 _sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
 
+import os as _os
+if _os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the container sitecustomize force-registers the TPU backend; honor
+    # an explicit CPU request (CI runs the examples on the CPU backend)
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
+
+import os
 import sys
 
 import numpy as np
@@ -25,9 +33,10 @@ spin = float(sys.argv[1]) if len(sys.argv) > 1 else 0.9
 incl = float(sys.argv[2]) if len(sys.argv) > 2 else 70.0
 
 disk = nt_setup(10.0, spin, 0.1, 0.1)
-E = np.geomspace(0.3, 10.0, 20)
+FAST = bool(os.environ.get("SIM5_FAST"))  # tiny-shape CI mode
+E = np.geomspace(0.3, 10.0, 8 if FAST else 20)
 I, Q, U = polarized_spectrum(disk, np.radians(incl), jnp.asarray(E),
-                             npix=192)
+                             npix=48 if FAST else 192)
 I, Q, U = map(np.asarray, (I, Q, U))
 
 deg = np.hypot(Q, U) / np.maximum(I, 1e-300)

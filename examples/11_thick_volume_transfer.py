@@ -17,6 +17,14 @@ import pathlib as _pl
 import sys as _sys
 _sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
 
+import os as _os
+if _os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the container sitecustomize force-registers the TPU backend; honor
+    # an explicit CPU request (CI runs the examples on the CPU backend)
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
+
+import os
 import sys
 
 import numpy as np
@@ -41,10 +49,14 @@ def make_alpha(alpha0):
     return torus_alpha
 
 
-kw = dict(npix=64, rmax=16.0, r_start=40.0, max_steps=2000, precision=0.02)
+FAST = bool(os.environ.get("SIM5_FAST"))  # tiny-shape CI mode
+kw = (dict(npix=24, rmax=16.0, r_start=30.0, max_steps=400,
+           precision=0.03) if FAST else
+      dict(npix=64, rmax=16.0, r_start=40.0, max_steps=2000,
+           precision=0.02))
 print(f"# optically-thick torus transfer: a={spin} incl={incl} deg")
 print("# alpha0   total_flux   peak_I")
-for alpha0 in (0.0, 0.05, 0.2, 1.0, 5.0):
+for alpha0 in ((0.0, 0.2) if FAST else (0.0, 0.05, 0.2, 1.0, 5.0)):
     I = np.asarray(volume_image(spin, np.radians(incl), torus_j,
                                 absorption_fn=make_alpha(alpha0)
                                 if alpha0 > 0 else None, **kw))

@@ -41,14 +41,20 @@ a = float(sys.argv[1]) if len(sys.argv) > 1 else 0.7
 inc = float(sys.argv[2]) if len(sys.argv) > 2 else 60.0
 
 # --- part 1: checkpointed lightcurve sweep -----------------------------
+FAST = bool(os.environ.get("SIM5_FAST"))  # tiny-shape CI mode
 r_spot = 8.0
 period = 2 * np.pi / float(OmegaK(r_spot, a))
-t = np.arange(64) / 64.0 * 2 * period
-ck_path = "/tmp/sim5_example12_lc.npz"
+nt_ = 8 if FAST else 64
+t = np.arange(nt_) / nt_ * 2 * period
+ck_path = ("/tmp/sim5_example12_lc_fast.npz" if FAST
+           else "/tmp/sim5_example12_lc.npz")
+if FAST and os.path.exists(ck_path):
+    os.remove(ck_path)   # CI exercises a fresh compute every run
 
 t, lc = hotspot_lightcurve_checkpointed(
-    ck_path, a, np.radians(inc), r_spot, 0.7, t, npix=128, n_orders=2,
-    chunk=8)
+    ck_path, a, np.radians(inc), r_spot, 0.7, t,
+    npix=32 if FAST else 128, n_orders=1 if FAST else 2,
+    chunk=4 if FAST else 8)
 done, total = FrameCheckpoint.open(ck_path).progress
 print(f"# lightcurve checkpoint: {done}/{total} chunks at {ck_path}",
       file=sys.stderr)
@@ -91,7 +97,7 @@ class ConeDisk:
 
 mesh = make_mesh()
 rt = DiskRaytrace(10.0, a, 10.0, ConeDisk(), DiskSpectrum_BlackBody())
-im = rt.image(inc, 25.0, 96, mesh=mesh)
+im = rt.image(inc, 25.0, 24 if FAST else 96, mesh=mesh)
 F = np.asarray(im["flux"])
 H = np.asarray(im["H"])
 hit = np.isfinite(F)

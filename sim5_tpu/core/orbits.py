@@ -79,20 +79,30 @@ def gfactorK(r, a, l):
     Evaluated through the Bardeen-Press-Teukolsky circular-orbit identity
       1 - 2/r (1-a Om)^2 - (r^2+a^2) Om^2 = r^{3/2}(r^{3/2}-3 r^{1/2}+2a)
                                             / (r^{3/2}+a)^2
-    with the Keplerian factor in FACTORED form s^3-3s+2a =
-    (s-x1)(s-x2)(s-x3), s = sqrt(r), x_i the cubic's trig-closed-form
-    roots: the direct expression cancels O(1) terms down to ~0.06 near
-    the ISCO at high spin (3e-6 relative in f32); the factored product
-    of root differences is ~1 ulp.  Exact same function in f64.
+    with the Keplerian bracket kep = s^3 - 3s + 2a (s = sqrt(r)) in
+    COMPENSATED double-single form: near its photon-ring zero the bracket
+    is exquisitely sensitive to s (d kep/ds = 3(s^2-1) vs kep -> 0), so a
+    half-ulp of a plain sqrt costs ~1.4e-6 relative in f32 at the a=0.998
+    inner edge -- measured to be THE dominant fast-path image error
+    (2.8e-6 of the 3.2e-6 total; the round-4 factored-roots form removed
+    the coefficient cancellation but still consumed a single-rounded s).
+    Here s is carried as the exact pair s + s_l with s_l the sqrt residual
+    (r - s^2)/(2s) (error-free via two_prod), and the cubic is evaluated
+    with error-free transforms plus the first-order s_l term, making kep
+    accurate to ~1 ulp of ITS OWN magnitude.  Same code path in f64.
     """
+    from ..special.polyroots import _two_prod, _two_sum
     s = jnp.sqrt(r)
-    s3_ = s * r                            # r^{3/2}
-    ac = jnp.arccos(jnp.clip(a, -1.0, 1.0))
-    th = ac / 3.0
-    x1 = 2.0 * jnp.cos(th - jnp.pi / 3.0)
-    x2 = 2.0 * jnp.cos(th + jnp.pi / 3.0)
-    x3 = -2.0 * jnp.cos(th)
-    kep = (s - x1) * (s - x2) * (s - x3)   # s^3 - 3 s + 2a, factored
+    p, ep = _two_prod(s, s)                  # s^2 = p + ep exactly
+    s_safe = jnp.maximum(s, jnp.finfo(s.dtype).tiny)
+    s_l = ((r - p) - ep) / (2.0 * s_safe)    # double-single sqrt residual
+    u, eu = _two_prod(p, s)                  # s^3 = u + eu + ep*s
+    m3, em3 = _two_sum(2.0 * s, s)           # 3s = m3 + em3 exactly
+    v, ev = _two_sum(u, -m3)
+    w, ew = _two_sum(v, 2.0 * a)
+    kep = w + (((ew + ev) - em3) + (eu + ep * s)
+               + (3.0 * p - 3.0) * s_l)      # + kep'(s) s_l
+    s3_ = s * r                              # r^{3/2}
     return jnp.sqrt(jnp.maximum(s3_ * kep, 0.0)) / (s3_ + a - l)
 
 
