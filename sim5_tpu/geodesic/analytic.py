@@ -29,7 +29,7 @@ from ..special import (
     integral_R_r0_re, integral_R_r1_re, integral_R_r2_re,
     integral_R_r0_cc, integral_R_r1_cc, integral_R_r2_cc,
     integral_R_r0_bh, integral_R_r1_bh, integral_R_r2_bh, integral_R_rp_bh,
-    integral_T_mp, integral_T_mp_dn, integral_T_m2_dn, rf,
+    integral_T_mp, integral_T_mp_dn, integral_T_m2_dn, rf, elliptic_k_mc,
     integral_Z1, integral_Z2,
 )
 from ..core import photon_momentum, photon_motion_constants, r_bh
@@ -298,14 +298,19 @@ def _R_roots(a, l, q, r0):
     w2c_cc = 1.0 / (1.0 + zg * zg)
     w_cc = jnp.sqrt(w2_cc)
 
-    # Every Rpc branch reduces to (prefactor x) RF evaluations, so instead
-    # of paying ~6 masked Carlson passes per pixel (isn + K + icn_signed's
-    # two + itn + K), the per-type arguments are mask-selected into TWO
-    # fused RF slots -- the generic-branch specialization of icn_signed
-    # applied across all types (the isn/itn m->0/1 fallback branches are
-    # algebraic identities of the same RF form, so dropping them is exact):
-    #   slot 1: RR isn | RC icn-generic | CC itn-as-isn
-    #   slot 2: RR_BH K(m4) | RC negative-z extension F | CC K(mm_cc)
+    # Every Rpc branch reduces to ONE incomplete-RF slot plus ONE
+    # complete-K slot (round-5 redesign of the round-3 two-RF-slot
+    # fusion): the RC negative-z icn branch folds through the exact
+    # half-period identity icn(-z) = 2K(m) - icn(z) (cn(2K-u) = -cn(u)),
+    # after which every slot-2 use is a COMPLETE integral -- evaluated by
+    # the scalar AGM (elliptic_k_mc: one sqrt per iteration vs three per
+    # duplication level), which removes a full RF chain per pixel on the
+    # sqrt-throughput-bound image path:
+    #   RF slot: RR isn | RC icn-generic | CC itn-as-isn
+    #   K slot:  RR_BH K(m4) | RC K(mm_rc) | CC K(mm_cc)
+    # Each lane's complement is already cancellation-free (is4: the
+    # two-float d-ratio 1-m4; RC/CC: the hypot/product complements), and
+    # the AGM consumes the complement directly -- exact at mm -> 1.
     one = jnp.ones_like(m4)
     # exact-complement forms for the RR slot: 1 - z4^2 = d12/d14 and
     # 1 - m4 z4^2 = d12/d13 -- pure root-difference ratios (with d12 the
@@ -321,24 +326,17 @@ def _R_roots(a, l, q, r0):
           jnp.where(is2, mmc_rc + mm_rc * az_rc * az_rc,
                     mmc_cc + mm_cc * w2c_cc))
     rf1 = rf(x1c, y1c, one)
-    # rf2 slot: is4 takes K'(m4) = RF(0, 1-m4, 1); is2 takes the
-    # HOMOGENEITY-TRANSFORMED negative-z icn extension
-    #   2/sqrt(1-m) az RF(1-az^2, 1 - m/(m-1) az^2, 1)
-    #     = 2 az RF(mmc (1-az^2), mmc + mm az^2, mmc)
-    # which never forms the catastrophic 1/(mm-1); is0 takes K(mm_cc)
-    # through the stable complement.
-    x2c = jnp.where(is2, mmc_rc * (1.0 - az_rc * az_rc), jnp.zeros_like(m4))
-    # 1 - m4 = d12 d34 / (d24 d13) exactly (same cancellation)
-    y2c = jnp.where(is4, (d12 * d34) / (d24 * d13),
-          jnp.where(is2, mmc_rc + mm_rc * az_rc * az_rc, mmc_cc))
-    z2c = jnp.where(is2, mmc_rc, one)
-    rf2 = rf(x2c, y2c, z2c)
+    # complete-K slot: 1 - m4 = d12 d34 / (d24 d13) exactly (the
+    # near-critical two-float gap ratio)
+    mc_K = jnp.where(is4, (d12 * d34) / (d24 * d13),
+           jnp.where(is2, mmc_rc, mmc_cc))
+    K_slot = elliptic_k_mc(mc_K)
 
     Rpc_rr = c4 * z4 * rf1
-    Rpc_bh = c4 * rf2
+    Rpc_bh = c4 * K_slot
     icn1 = jnp.sqrt(1.0 - az_rc * az_rc) * rf1
-    neg = 2.0 * az_rc * rf2
-    Rpc_rc = jnp.where(z_rc >= 0.0, icn1, neg + icn1) / jnp.sqrt(A_rc * B_rc)
+    Rpc_rc = jnp.where(z_rc >= 0.0, icn1, 2.0 * K_slot - icn1) \
+        / jnp.sqrt(A_rc * B_rc)
     # total integral infinity -> rp.  The tangent half-map z(r) of BF
     # 260.00 crosses its pole (z = +-inf, u = K) at r* = a1/g1 + b1; the
     # full integral continues PAST the pole, so u(infinity) = 2K - itn(1/g1)
@@ -347,7 +345,7 @@ def _R_roots(a, l, q, r0):
     # value is wrong for every radius above r* (it never uses the branch;
     # its r(P) for CC is NaN).  Validated against direct quadrature of
     # 1/sqrt(R) in tests/test_geodesic.py.
-    Rpc_cc = 2.0 / (A_cc + B_cc) * (2.0 * rf2 - w_cc * rf1)
+    Rpc_cc = 2.0 / (A_cc + B_cc) * (2.0 * K_slot - w_cc * rf1)
 
     rp = jnp.where(is4, jnp.where(inner, r2, r1),
                    jnp.where(is2, t1, b1 - a1 * g1))
@@ -465,7 +463,10 @@ def geodesic_init_inf(i, a, alpha, beta):
     mm_c = jnp.where(q > 0.0, m2m / (m2p + m2m),
                      -m2m / jnp.where(m2p != 0.0, m2p, 1.0))
     mm_c = jnp.clip(mm_c, 1e-12, 1.0)
-    Tpp = 2.0 * mK * rf(jnp.zeros_like(mm), mm_c, jnp.ones_like(mm))
+    # complete K via the scalar AGM from the exact complement (round 5:
+    # one sqrt per iteration vs three per duplication level of
+    # RF(0, mm_c, 1) on the sqrt-bound image path; same accuracy)
+    Tpp = 2.0 * mK * elliptic_k_mc(mm_c)
     # Tip = mK * icn(cos_i/sqrt(m2p), mm), but 1 - u^2 suffers catastrophic
     # cancellation as beta -> 0 (the observer sits at the theta turning
     # point, u -> 1).  The theta potential at the observer is identically
@@ -663,11 +664,12 @@ def geodesic_P_int(g: Geodesic, r, ppc):
     w2c_cc = 1.0 / (1.0 + z_cc * z_cc)
     w_cc = jnp.sqrt(w2_cc)
 
-    # two fused Carlson slots across all types (see _R_roots for the same
-    # technique; the per-call special-function count drops from ~7 RF
-    # passes to 2):
-    #   slot 1: RR/RR_BH isn(arg4) | RC icn-generic | CC itn(|z_cc|)
-    #   slot 2: RC negative-z extension (homogeneity form) | CC K(mm_cc)
+    # one incomplete-RF slot + one complete-K slot across all types (see
+    # _R_roots for the identity that folds the RC negative-z branch into
+    # the complete integral; the per-call special-function count drops
+    # from ~7 RF passes in the reference layout to 1 RF + 1 scalar AGM):
+    #   RF slot: RR/RR_BH isn(arg4) | RC icn-generic | CC itn(|z_cc|)
+    #   K slot:  RC K(mm_rc) | CC K(mm_cc)
     one = jnp.ones_like(mm4)
     x1c = jnp.where(is4, 1.0 - arg4 * arg4,
           jnp.where(is_rc, az_rc * az_rc, w2c_cc))
@@ -675,23 +677,19 @@ def geodesic_P_int(g: Geodesic, r, ppc):
           jnp.where(is_rc, mmc_rc + mm_rc * az_rc * az_rc,
                     mmc_cc + mm_cc * w2c_cc))
     rf1 = rf(x1c, y1c, one)
-    x2c = jnp.where(is_rc, mmc_rc * (1.0 - az_rc * az_rc),
-                    jnp.zeros_like(mm4))
-    y2c = jnp.where(is_rc, mmc_rc + mm_rc * az_rc * az_rc, mmc_cc)
-    z2c = jnp.where(is_rc, mmc_rc, one)
-    rf2 = rf(x2c, y2c, z2c)
+    K_slot = elliptic_k_mc(jnp.where(is_rc, mmc_rc, mmc_cc))
 
     R_rr = c4 * arg4 * rf1
     R_bh = R_rr
     icn1 = jnp.sqrt(1.0 - az_rc * az_rc) * rf1
-    neg = 2.0 * az_rc * rf2
-    R_rc = jnp.where(z_rc >= 0.0, icn1, neg + icn1) / jnp.sqrt(A * B)
+    R_rc = jnp.where(z_rc >= 0.0, icn1, 2.0 * K_slot - icn1) \
+        / jnp.sqrt(A * B)
     # monotone continuation past the z-pole at r* = a1/g1 + b1 (u = K):
     # u(r) = itn(z) on the near side (z >= 0), 2K - itn(|z|) beyond -- the
     # reference's even itn folds the integral back there (see _R_roots).
     # Every physical radius (r > r_horizon > r*) is on the far branch.
     itn_abs = w_cc * rf1
-    u_cc = jnp.where(z_cc >= 0.0, itn_abs, 2.0 * rf2 - itn_abs)
+    u_cc = jnp.where(z_cc >= 0.0, itn_abs, 2.0 * K_slot - itn_abs)
     R_cc = 2.0 / (A_cc + B_cc) * u_cc
 
     ppc_f = jnp.asarray(ppc, jnp.float64)

@@ -10,7 +10,7 @@ AGM schemes that run in lockstep on the TPU VPU.
 
 from .carlson import rf, rd, rc, rj, set_duplication_mode
 from .legendre import (
-    elliptic_k, elliptic_f, elliptic_f_cos, elliptic_f_sin,
+    elliptic_k, elliptic_k_mc, elliptic_f, elliptic_f_cos, elliptic_f_sin,
     elliptic_e, elliptic_e_cos, elliptic_e_sin,
     elliptic_pi_complete, elliptic_pi_cos, elliptic_pi_sin,
 )

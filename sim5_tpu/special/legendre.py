@@ -22,6 +22,33 @@ def elliptic_k(m):
     return rf(jnp.zeros_like(m), 1.0 - m, jnp.ones_like(m))
 
 
+def elliptic_k_mc(mc):
+    """Complete elliptic integral K(m) from the COMPLEMENT mc = 1 - m, by
+    the arithmetic-geometric mean:  K = pi / (2 AGM(1, sqrt(mc))).
+
+    TPU fast-path form (round 5): on the image pipeline every complete-K
+    use site already carries a cancellation-free complement (near-critical
+    moduli have mc ~ 1e-12 where 1 - m floors at ulp(1)), and the AGM
+    costs ONE sqrt per iteration vs three per duplication level for the
+    equivalent RF(0, mc, 1) -- 8-10 sqrt total instead of 21-48 on the
+    sqrt-throughput-bound image path (docs/performance.md roofline).
+    Quadratic convergence: the fixed depths reach the working precision's
+    noise floor for any mc >= 1e-12 (the engine's validity-gate floor).
+    Differentiable by plain autodiff through the (short, smooth) chain.
+    """
+    mc = jnp.asarray(mc, jnp.float64)
+    f64 = jnp.zeros((), jnp.float64).dtype == jnp.float64
+    # measured (vs a dps-60 oracle): worst-case over mc in [1e-13, 1]
+    # reaches the precision floor (2.4e-16 / 1.4e-7) by depth 6 -- the
+    # pi/(a+b) form adds one extra effective averaging; +1-3 margin
+    depth = 9 if f64 else 7
+    a = jnp.ones_like(mc)
+    b = jnp.sqrt(jnp.maximum(mc, 1e-30))
+    for _ in range(depth):
+        a, b = 0.5 * (a + b), jnp.sqrt(a * b)
+    return jnp.pi / (a + b)   # = pi / (2 * agm)
+
+
 def elliptic_f(phi, m):
     """Incomplete elliptic integral F(phi, m), any real phi.  (sim5elliptic.c:236-252)"""
     phi = jnp.asarray(phi, jnp.float64)
