@@ -496,6 +496,30 @@ def main():
         device_ms_per_frame = (t_full - t_half) / (n_rep * half) * 1e3
         device_rays_per_sec = NPIX * NPIX / (device_ms_per_frame * 1e-3)
 
+    # f64 (parity-grade) path device rate by the same two-size slope --
+    # the engine table-parity work runs on (round 5: the AGM complete-K
+    # slot bought 12% here; tracked so regressions are visible)
+    @partial(jax.jit, static_argnames=("n",))
+    def sweep64_n(a0, n):
+        def one(a):
+            disk = nt_setup(10.0, a, MDOT, 0.1)
+            imf, _ = render_disk_image(disk, INCL, NPIX, NPIX)
+            return imf.sum() * 1e-25
+        return jax.lax.map(one, a0 - 2e-4 * jnp.arange(n, dtype=jnp.float64))
+    np.asarray(sweep64_n(jnp.float64(A), 8))
+    np.asarray(sweep64_n(jnp.float64(A), 16))
+    f64_ms = None
+    for i in range(3):
+        t0 = time.perf_counter()
+        np.asarray(sweep64_n(jnp.float64(A - 1e-6 * (i + 1)), 8))
+        th = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(sweep64_n(jnp.float64(A - 2e-6 * (i + 1)), 16))
+        tf = time.perf_counter() - t0
+        ms = (tf - th) / 8 * 1e3
+        f64_ms = ms if f64_ms is None else min(f64_ms, ms)
+    device_ms_per_frame_f64 = f64_ms
+
     rays_per_sec = n_rep * SWEEP * NPIX * NPIX / dt
     baseline = 1e5  # reference: ~1e5 photons/s, 1 CPU core
     print(json.dumps({
@@ -509,6 +533,7 @@ def main():
         "fast_path_err_vs_f64": float(err32),
         "device_ms_per_frame": device_ms_per_frame,
         "device_rays_per_sec": device_rays_per_sec,
+        "device_ms_per_frame_f64": device_ms_per_frame_f64,
         "grad_rays_per_sec": grad_rays_per_sec,
         "pixel_grad_linf_vs_fd": grad_linf,
         **thick,

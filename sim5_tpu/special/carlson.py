@@ -382,7 +382,7 @@ def rc(x, y, _unroll=True):
     neg = y < 0.0
     tiny = _tiny_for(x.dtype)
     xt0 = jnp.maximum(jnp.where(neg, x - y, x), tiny)
-    yt0 = jnp.where(neg, -y, jnp.where(y == 0.0, _TINY, y))
+    yt0 = jnp.where(neg, -y, jnp.where(y == 0.0, tiny, y))
     w = jnp.where(neg, jnp.sqrt(x) / jnp.sqrt(xt0), 1.0)
     unroll = _unroll and (
         jax.default_backend() == "tpu" if _DUP_MODE == "auto"
@@ -499,7 +499,7 @@ def rj(x, y, z, p):
     xt = jnp.maximum(jnp.where(neg, xs, x), tiny)
     yt = jnp.maximum(jnp.where(neg, ys, y), tiny)
     zt = jnp.maximum(jnp.where(neg, zs, z), tiny)
-    pt = jnp.where(neg, pt_neg, jnp.where(p == 0.0, _TINY, p))
+    pt = jnp.where(neg, pt_neg, jnp.where(p == 0.0, tiny, p))
 
     ans = _rj_pos(xt, yt, zt, pt)
     ans_neg = a_ * (b_ * ans + 3.0 * (rcx - rf(xt, yt, zt)))
