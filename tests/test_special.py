@@ -261,3 +261,26 @@ class TestBandRadialIntegrals:
                 got = float(sp.integral_R_rp_bh(r1, r2, r3, r4, p, Y))
                 want = np.trapezoid(ker / (r - p), ps)
                 assert abs(got - want) < 1e-6 * max(1.0, abs(want))
+
+
+class TestCompleteKAGM:
+    """elliptic_k_mc (the round-5 AGM complete-K slot) vs the RF-based
+    elliptic_k across the full modulus range, including the near-critical
+    complements where the engine relies on it."""
+
+    def test_matches_rf_based_k(self):
+        import jax.numpy as jnp
+        mc = np.array([1e-12, 1e-9, 1e-6, 1e-3, 0.1, 0.5, 0.9, 1.0 - 1e-7])
+        k_rf = np.asarray(sp.rf(np.zeros_like(mc), mc, np.ones_like(mc)))
+        k_agm = np.asarray(sp.elliptic_k_mc(jnp.asarray(mc)))
+        np.testing.assert_allclose(k_agm, k_rf, rtol=5e-14)
+
+    def test_grad_vs_fd(self):
+        import jax
+        import jax.numpy as jnp
+        for mc0 in (1e-6, 0.01, 0.3, 0.9):
+            g = jax.grad(lambda m: sp.elliptic_k_mc(m))(jnp.float64(mc0))
+            h = 1e-6 * max(mc0, 1e-4)
+            fd = (float(sp.elliptic_k_mc(jnp.float64(mc0 + h)))
+                  - float(sp.elliptic_k_mc(jnp.float64(mc0 - h)))) / (2 * h)
+            assert abs(float(g) - fd) / max(abs(fd), 1e-12) < 1e-7
